@@ -1,0 +1,116 @@
+"""Stage-1 driver tests: padding/trim rules and the end-to-end decode loop
+on the tiny config."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tortoise_tpu.config import ARConfig, tiny_ar_config
+from tortoise_tpu.io.checkpoint import random_ar_params
+from tortoise_tpu.pipeline import ar_stage as ap
+from tortoise_tpu.rng import ReferenceRng
+
+
+def test_apply_padding_reference_rules():
+    cfg = ARConfig()
+    seq = [10, 20, 30, 8139, 8139]
+    out = ap.apply_padding(seq, cfg)
+    assert len(out) == 502
+    assert out[0] == 8192 and out[-1] == 8193
+    assert out[1:4] == [10, 20, 30]
+    assert all(t == 83 for t in out[4:498])
+    assert out[498:501] == [45, 45, 248]
+    # input not mutated
+    assert seq == [10, 20, 30, 8139, 8139]
+
+
+def test_apply_padding_overwrites_tail_even_when_long():
+    cfg = ARConfig()
+    seq = list(range(1, 501))  # exactly 500
+    out = ap.apply_padding(seq, cfg)
+    assert out[1:498] == list(range(1, 498))
+    assert out[498:501] == [45, 45, 248]
+
+
+def test_apply_padding_rejects_too_long():
+    with pytest.raises(ValueError):
+        ap.apply_padding(list(range(501)), ARConfig())
+
+
+def test_trim_latents_calm_rule():
+    cfg = ARConfig()
+    d = 4
+    lat = np.arange(500 * d, dtype=np.float32).reshape(1, 500, d)
+    seq = [8192] + [7] * 10 + [83] * 490 + [8193]
+    # positions: 10 real + first 8 calm kept, the 9th calm breaks
+    out = ap.trim_latents(lat, [seq], cfg)
+    assert out[0].shape == (18, d)
+    np.testing.assert_array_equal(out[0], lat[0, :18])
+
+
+def test_trim_latents_interrupted_calm_runs():
+    cfg = ARConfig()
+    lat = np.zeros((1, 500, 2), np.float32)
+    codes = [83] * 8 + [7] + [83] * 8 + [7] + [83] * 491
+    seq = [8192] + codes[:500] + [8193]
+    out = ap.trim_latents(lat, [seq], cfg)
+    # calm counter resets at each 7; final run breaks at its 9th calm
+    assert out[0].shape[0] == 8 + 1 + 8 + 1 + 8
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_ar_config()
+    params = random_ar_params(cfg, seed=3)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, cfg.n_text_vocab, 9).tolist()
+    voice = rng.normal(0, 0.5, (cfg.d_model,)).astype(np.float32)
+    return cfg, params, tokens, voice
+
+
+def test_autoregressive_jax_sampler(tiny):
+    cfg, params, tokens, voice = tiny
+    latents, seqs = ap.autoregressive(
+        params, tokens, voice, batch_size=2, cfg=cfg, sampler="jax", seed=0
+    )
+    assert len(latents) == 2 and len(seqs) == 2
+    for s in seqs:
+        assert len(s) == cfg.pad_mel_length + 2
+        assert s[0] == cfg.start_mel_token and s[-1] == cfg.stop_mel_token
+    for l in latents:
+        assert l.ndim == 2 and l.shape[1] == cfg.d_model
+        assert 0 < l.shape[0] <= cfg.pad_mel_length
+
+
+def test_autoregressive_jax_sampler_deterministic(tiny):
+    cfg, params, tokens, voice = tiny
+    a = ap.autoregressive(params, tokens, voice, 1, cfg, "jax", seed=5)
+    b = ap.autoregressive(params, tokens, voice, 1, cfg, "jax", seed=5)
+    assert a[1] == b[1]
+    np.testing.assert_array_equal(a[0][0], b[0][0])
+
+
+def test_autoregressive_reference_sampler(tiny):
+    cfg, params, tokens, voice = tiny
+    latents, seqs = ap.autoregressive(
+        params, tokens, voice, batch_size=1, cfg=cfg, sampler="reference",
+        rng=ReferenceRng(9, force_python=True),
+    )
+    assert seqs[0][0] == cfg.start_mel_token
+    assert len(seqs[0]) == cfg.pad_mel_length + 2
+    # deterministic given the same engine state
+    latents2, seqs2 = ap.autoregressive(
+        params, tokens, voice, batch_size=1, cfg=cfg, sampler="reference",
+        rng=ReferenceRng(9, force_python=True),
+    )
+    assert seqs == seqs2
+
+
+def test_bucket_selection():
+    assert ap.pick_bucket(1) == 32
+    assert ap.pick_bucket(32) == 32
+    assert ap.pick_bucket(33) == 64
+    assert ap.pick_bucket(404) == 404
+    with pytest.raises(ValueError):
+        ap.pick_bucket(405)

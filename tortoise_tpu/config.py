@@ -32,6 +32,7 @@ class ARConfig:
     stop_mel_token: int = 8193
     calm_token: int = 83
     strip_token: int = 8139
+    tail_tokens: tuple = (45, 45, 248)  # forced last-3 ids (main.cpp:4527-4529)
     pad_mel_length: int = 500        # sequences padded to 500 + [8192 .. 8193]
     max_decode_steps: int = 500
     # decode KV cache: 1 latent + n_text_pos text + 1 start-mel + 500 mel,
@@ -120,7 +121,7 @@ def tiny_ar_config() -> ARConfig:
         n_layer=2, d_model=64, n_head=4, d_mlp=128, n_text_vocab=32,
         n_text_pos=24, n_mel_vocab=40, n_mel_pos=64, cache_len=64,
         start_mel_token=36, stop_mel_token=37, calm_token=5, strip_token=33,
-        pad_mel_length=16, max_decode_steps=16,
+        tail_tokens=(3, 3, 8), pad_mel_length=16, max_decode_steps=16,
     )
 
 

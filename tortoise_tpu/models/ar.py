@@ -1,0 +1,271 @@
+"""Autoregressive GPT-2-style speech-token decoder, TPU-native.
+
+Functionally equivalent to the reference's `autoregressive_graph`
+(main.cpp:2545-3040) and `autoregressive_latent_graph` (main.cpp:2053-2519),
+re-designed for XLA: the 30 layers are stacked into single arrays and run
+under `lax.scan`; decode uses a static-shape KV cache updated with
+`dynamic_update_slice` inside one jitted step (the reference rebuilds and
+re-allocates a fresh ggml graph per token, main.cpp:5227-5247); text length
+is padded to static buckets with attention masking so XLA compiles once per
+bucket.
+
+Architecture facts mirrored from the reference:
+
+- sequence layout: [voice latent (1 slot) | text embeddings (T) | mel
+  embeddings], with text emb = wte[token] + wpe_text[pos] and mel emb =
+  wme[mel_token] + wpe_mel[pos] (main.cpp:2589-2654).
+- decode mel position ids are `step + 2` — position 1 is never used
+  (fixed_embedding_ids set to i+2, main.cpp:5237-5245); the start mel token
+  8192 uses position 0 (main.cpp:5155-5160).
+- pre-LN GPT-2 block: LN(eps 1e-5) -> fused qkv (1024->3072 affine;
+  "conv1d in pytorch but actually affine", main.cpp:2767) -> 16 heads x 64
+  -> causal softmax(QK/8) -> proj -> residual -> LN -> MLP 1024->4096
+  gelu(tanh) -> 1024 -> residual (main.cpp:2718-2983).
+- the reference round-trips the qkv activations through f16
+  (main.cpp:2789-2790); pass qkv_f16=True to reproduce that rounding
+  (opt-in: it injects ~5e-4 relative noise and is inside the reference's
+  own 1e-2 golden tolerance either way).
+- head: LN -> ln_f affine -> *second bare LN* -> lm_head.0 affine ->
+  lm_head.1 linear -> 8194 logits (main.cpp:2985-3013; the double-norm is a
+  real property of the exported model, don't "fix" it).
+- latent extraction: same trunk, final chain LN -> ln_f affine -> bare LN
+  -> lm_head.0 affine, then the 1024-d states at the 500 positions starting
+  at the start-mel slot (offset 1+T; main.cpp:2486-2515).
+- KV cache: the reference allocates 404 slots/layer (main.cpp:794-797) which
+  silently overflows across layer regions for generations longer than
+  404-T-2 tokens; we size the cache correctly (cfg.cache_len) instead.
+
+Weight orientation: loaders deliver numpy arrays with ggml ne reversed, so
+`attn.c_attn.weight` arrives (1024, 3072) = x @ W, and `lm_head.1.weight`
+arrives (8194, 1024) = x @ W.T (torch Linear), matching
+io/checkpoint.py's conversion.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tortoise_tpu.config import ARConfig
+from tortoise_tpu.ops.basic import gelu, layer_norm, pdot
+
+NEG_INF = -1e30
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (L, B, H, C, Dh)
+    v: jax.Array  # (L, B, H, C, Dh)
+    valid: jax.Array  # (B, C) bool — which slots hold real keys
+    length: jax.Array  # () int32 — next write offset
+
+
+def init_cache(cfg: ARConfig, batch: int, dtype=jnp.float32) -> KVCache:
+    shape = (cfg.n_layer, batch, cfg.n_head, cfg.cache_len, cfg.d_head)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        valid=jnp.zeros((batch, cfg.cache_len), bool),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+def _qkv(block, x, cfg: ARConfig, compute_dtype, qkv_f16=False):
+    """Fused qkv projection -> (q, k, v) each (B, H, S, Dh)."""
+    b, s, d = x.shape
+    h, dh = cfg.n_head, cfg.d_head
+    qkv = pdot(x, block["attn_w"], compute_dtype) + block["attn_b"]
+    if qkv_f16:
+        # opt-in reproduction of the reference's f16 round-trip of the qkv
+        # activations (main.cpp:2789-2790); adds ~5e-4 relative rounding
+        qkv = qkv.astype(jnp.float16).astype(jnp.float32)
+    qkv = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
+    return qkv[0], qkv[1], qkv[2]
+
+
+def _attn_out(block, ctx, x_res, cfg: ARConfig, compute_dtype):
+    """Merge heads, project, add residual, then MLP block."""
+    b, h, s, dh = ctx.shape
+    merged = ctx.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+    attn = pdot(merged, block["proj_w"], compute_dtype) + block["proj_b"]
+    x = x_res + attn
+    y = layer_norm(x, block["ln2_w"], block["ln2_b"], cfg.ln_eps)
+    y = gelu(pdot(y, block["fc_w"], compute_dtype) + block["fc_b"])
+    y = pdot(y, block["fc_proj_w"], compute_dtype) + block["fc_proj_b"]
+    return x + y
+
+
+def _block_full(block, x, bias, cfg: ARConfig, compute_dtype, qkv_f16=False):
+    """One GPT-2 block over a full sequence. bias: (B|1, 1, S, S) additive."""
+    y = layer_norm(x, block["ln1_w"], block["ln1_b"], cfg.ln_eps)
+    q, k, v = _qkv(block, y, cfg, compute_dtype, qkv_f16)
+    scores = pdot(q, k.swapaxes(-1, -2), compute_dtype) / jnp.sqrt(
+        jnp.float32(cfg.d_head)
+    )
+    probs = jax.nn.softmax((scores + bias).astype(jnp.float32), axis=-1)
+    ctx = pdot(probs.astype(q.dtype), v, compute_dtype)
+    return _attn_out(block, ctx, x, cfg, compute_dtype), (k, v)
+
+
+def transformer(params, x, bias, cfg: ARConfig, compute_dtype=None,
+                qkv_f16: bool = False,
+                ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Run the 30-layer trunk over a full sequence via lax.scan.
+
+    Returns hidden states and per-layer (k, v) stacked (L, B, H, S, Dh).
+    """
+
+    def step(x, block):
+        x, kv = _block_full(block, x, bias, cfg, compute_dtype, qkv_f16)
+        return x, kv
+
+    x, kvs = jax.lax.scan(step, x, params["blocks"])
+    return x, kvs
+
+
+def _head(params, h, cfg: ARConfig, compute_dtype=None):
+    """Final norm chain + lm head -> logits."""
+    h = layer_norm(h, params["ln_f_w"], params["ln_f_b"], cfg.ln_eps)
+    h = layer_norm(h, None, None, cfg.ln_eps)  # bare second norm (2996)
+    h = h * params["lm_ln_w"] + params["lm_ln_b"]
+    return pdot(h, params["lm_w"].T, compute_dtype) + params["lm_b"]
+
+
+def _latent_head(params, h, cfg: ARConfig):
+    h = layer_norm(h, params["ln_f_w"], params["ln_f_b"], cfg.ln_eps)
+    h = layer_norm(h, None, None, cfg.ln_eps)
+    return h * params["lm_ln_w"] + params["lm_ln_b"]
+
+
+def _embed_text(params, text_ids, text_pos):
+    return (
+        jnp.take(params["text_emb"], text_ids, axis=0)
+        + jnp.take(params["text_pos"], text_pos, axis=0)
+    )
+
+
+def _embed_mel(params, mel_ids, mel_pos):
+    return (
+        jnp.take(params["mel_emb"], mel_ids, axis=0)
+        + jnp.take(params["mel_pos"], mel_pos, axis=0)
+    )
+
+
+def _causal_bias(valid: jax.Array) -> jax.Array:
+    """(B, S) validity -> (B, 1, S, S) additive causal+padding bias."""
+    s = valid.shape[-1]
+    i = jnp.arange(s)
+    causal = i[:, None] >= i[None, :]
+    ok = causal[None, :, :] & valid[:, None, :]
+    return jnp.where(ok, 0.0, NEG_INF)[:, None, :, :]
+
+
+def prefill(params, cfg: ARConfig, text_ids: jax.Array,
+            text_valid: jax.Array, voice: jax.Array,
+            compute_dtype=None, qkv_f16: bool = False,
+            ) -> Tuple[jax.Array, KVCache]:
+    """Prefill over [latent | text | start-mel]; returns next-token logits
+    (B, V) and the primed KV cache.
+
+    text_ids/text_valid: (B, Tpad) int32/bool (pad anywhere invalid);
+    voice: (1024,) or (B, 1024).
+    """
+    b, t = text_ids.shape
+    voice = jnp.broadcast_to(voice.astype(jnp.float32), (b, cfg.d_model))
+    pos = jnp.cumsum(text_valid, axis=-1) - 1  # 0..T-1 over valid slots
+    pos = jnp.where(text_valid, pos, 0)
+    text = _embed_text(params, text_ids, pos)
+    start = _embed_mel(
+        params,
+        jnp.full((b, 1), cfg.start_mel_token, jnp.int32),
+        jnp.zeros((b, 1), jnp.int32),
+    )
+    x = jnp.concatenate([voice[:, None, :], text, start], axis=1)
+    seq_valid = jnp.concatenate(
+        [jnp.ones((b, 1), bool), text_valid, jnp.ones((b, 1), bool)], axis=1
+    )
+    bias = _causal_bias(seq_valid)
+    h, (ks, vs) = transformer(params, x, bias, cfg, compute_dtype, qkv_f16)
+    logits = _head(params, h[:, -1:, :], cfg, compute_dtype)[:, 0, :]
+
+    cache = init_cache(cfg, b, jnp.float32)
+    s = x.shape[1]
+    k = jax.lax.dynamic_update_slice(cache.k, ks.astype(cache.k.dtype),
+                                     (0, 0, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(cache.v, vs.astype(cache.v.dtype),
+                                     (0, 0, 0, 0, 0))
+    valid = jax.lax.dynamic_update_slice(cache.valid, seq_valid, (0, 0))
+    return logits, KVCache(k, v, valid, jnp.int32(s))
+
+
+def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
+                step: jax.Array, compute_dtype=None, qkv_f16: bool = False,
+                ) -> Tuple[jax.Array, KVCache]:
+    """One decode step: tokens (B,) sampled ids for this step; `step` is the
+    0-based decode index (mel position id is step+2, main.cpp:5237-5245).
+    Returns (logits (B, V), updated cache). Fully static shapes — jit once.
+    """
+    b = tokens.shape[0]
+    x = _embed_mel(
+        params,
+        tokens.reshape(b, 1),
+        jnp.full((b, 1), 1, jnp.int32) * (step + 2),
+    )
+    n = cache.length
+
+    def layer(carry, xs):
+        x, = carry
+        block, k_l, v_l = xs
+        y = layer_norm(x, block["ln1_w"], block["ln1_b"], cfg.ln_eps)
+        q, k_new, v_new = _qkv(block, y, cfg, compute_dtype, qkv_f16)
+        k_l = jax.lax.dynamic_update_slice(k_l, k_new.astype(k_l.dtype),
+                                           (0, 0, n, 0))
+        v_l = jax.lax.dynamic_update_slice(v_l, v_new.astype(v_l.dtype),
+                                           (0, 0, n, 0))
+        scores = pdot(q, k_l.swapaxes(-1, -2), compute_dtype) / jnp.sqrt(
+            jnp.float32(cfg.d_head)
+        )
+        idx = jnp.arange(cfg.cache_len)
+        ok = cache.valid | (idx[None, :] == n)
+        bias = jnp.where(ok, 0.0, NEG_INF)[:, None, None, :]
+        probs = jax.nn.softmax((scores + bias).astype(jnp.float32), axis=-1)
+        ctx = pdot(probs.astype(q.dtype), v_l, compute_dtype)
+        x = _attn_out(block, ctx, x, cfg, compute_dtype)
+        return (x,), (k_l, v_l)
+
+    (h,), (k, v) = jax.lax.scan(layer, (x,), (params["blocks"], cache.k,
+                                              cache.v))
+    logits = _head(params, h[:, -1:, :], cfg, compute_dtype)[:, 0, :]
+    valid = cache.valid.at[:, n].set(True)
+    return logits, KVCache(k, v, valid, n + 1)
+
+
+def latent_forward(params, cfg: ARConfig, text_ids: jax.Array,
+                   text_valid: jax.Array, mel_ids: jax.Array,
+                   voice: jax.Array, compute_dtype=None,
+                   qkv_f16: bool = False) -> jax.Array:
+    """Full-sequence pass over [latent | text | 502 mel codes]; returns the
+    (B, 500, 1024) speech-conditioning latents (main.cpp:2053-2519).
+
+    Mel position ids are 0..501 (the reference driver intends this,
+    main.cpp:5325-5336, though its hardcoded /4 only fills them correctly
+    for batch 4; we use the correct ids for every batch size).
+    """
+    b, t = text_ids.shape
+    m = mel_ids.shape[1]
+    voice = jnp.broadcast_to(voice.astype(jnp.float32), (b, cfg.d_model))
+    pos = jnp.cumsum(text_valid, axis=-1) - 1
+    pos = jnp.where(text_valid, pos, 0)
+    text = _embed_text(params, text_ids, pos)
+    mel_pos = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (b, m))
+    mel = _embed_mel(params, mel_ids, mel_pos)
+    x = jnp.concatenate([voice[:, None, :], text, mel], axis=1)
+    seq_valid = jnp.concatenate(
+        [jnp.ones((b, 1), bool), text_valid, jnp.ones((b, m), bool)], axis=1
+    )
+    bias = _causal_bias(seq_valid)
+    h, _ = transformer(params, x, bias, cfg, compute_dtype, qkv_f16)
+    h = _latent_head(params, h, cfg)
+    # latents live at the 500 positions starting at the start-mel slot
+    return jax.lax.dynamic_slice_in_dim(h, 1 + t, m - 2, axis=1)

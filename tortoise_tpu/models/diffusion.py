@@ -1,0 +1,234 @@
+"""Conditioned DDPM mel decoder, TPU-native.
+
+Functional equivalent of the reference's `diffusion_graph`
+(main.cpp:3066-4044), re-designed for XLA: stacked layer params under
+`lax.scan`, cond/uncond evaluated as one batch-of-2, channels-first (B, C, T)
+maps, static bucketed lengths with masked group norms and masked attention
+(the reference builds a fresh graph per length per step, 160 builds per
+utterance).
+
+Architecture (tensor names from diffusion_model_load, main.cpp:1497-1634):
+
+- latent conditioner (cond path only): conv1d k3 pad1 over the (1024, L)
+  AR latents -> 4 x [groupnorm32+affine -> qkv conv k1 -> 16 heads x 64
+  with *per-head-interleaved* qkv channels (h*192+part*64+d, matching
+  upstream's QKVAttentionLegacy; views at main.cpp:3229-3245) -> softmax of
+  QK/8 + 8.0*rel-pos-bucket bias -> proj -> residual]  (main.cpp:3156-3289)
+- code_norm groupnorm, then FiLM by the stored conditioning latent:
+  x*(1+scale)+shift, scale=latent[0:1024], shift=latent[1024:2048]
+  (main.cpp:3291-3319)
+- nearest upscale L -> T (main.cpp:3321); uncond path instead broadcasts
+  `unconditioned_embedding` (main.cpp:3322-3329)
+- timestep MLP: linear -> silu -> linear on the sinusoidal embedding of the
+  ORIGINAL timestep (main.cpp:3331-3343)
+- 3 conditioning_timestep_integrator layers on the code embedding, then:
+  noisy mel -> inp_block conv k3 -> concat(code emb) -> integrating_conv k1
+  -> 10 main layers -> 3 plain resblocks -> out groupnorm+silu+conv k3 ->
+  200 ch = [100 means | 100 variance fracs] (main.cpp:3611-4044)
+- resblock: gn+affine -> silu -> conv k1; emb branch silu->linear->(scale|
+  shift); gn+affine -> x*(1+scale)+shift -> silu -> conv k3 -> +residual
+  (main.cpp:3349-3488)
+- attention blocks are NON-causal with T5 rel-pos bucket bias scaled x8.
+
+Weight orientation: conv weights (out, in, k); linear weights (out, in)
+used as x @ W.T — as delivered by io/ggml.py + io/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tortoise_tpu.config import DiffusionConfig
+from tortoise_tpu.ops.basic import group_norm, pdot, silu
+from tortoise_tpu.ops.conv import conv1d, nearest_upscale_time
+from tortoise_tpu.ops.relpos import relpos_bias
+
+NEG_INF = -1e30
+
+
+def _linear(x, w, b, compute_dtype=None):
+    return pdot(x, w.T, compute_dtype) + b
+
+
+def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
+               mask=None, compute_dtype=None):
+    """Rel-pos attention block over (B, C, T). mask: (B, T) bool or None."""
+    b, c, t = x.shape
+    h, dh = cfg.n_head, cfg.d_head
+    y = group_norm(x, cfg.n_groups, block["attn_norm_w"],
+                   block["attn_norm_b"], cfg.gn_eps,
+                   mask=None if mask is None else mask[:, None, :])
+    qkv = pdot(y.swapaxes(1, 2), block["attn_qkv_w"].T, compute_dtype)
+    qkv = (qkv + block["attn_qkv_b"]).swapaxes(1, 2)  # (B, 3C, T)
+    qkv = qkv.reshape(b, h, 3, dh, t)
+    q = qkv[:, :, 0].swapaxes(-1, -2)  # (B, H, T, Dh)
+    k = qkv[:, :, 1]                   # (B, H, Dh, T)
+    v = qkv[:, :, 2].swapaxes(-1, -2)  # (B, H, T, Dh)
+    scores = pdot(q, k, compute_dtype) / jnp.sqrt(jnp.float32(dh))
+    scores = scores + relpos_bias(rel_w, buckets)[None]
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    ctx = pdot(probs.astype(q.dtype), v, compute_dtype)  # (B, H, T, Dh)
+    merged = ctx.swapaxes(1, 2).reshape(b, t, h * dh)
+    out = _linear(merged, block["attn_proj_w"], block["attn_proj_b"],
+                  compute_dtype).swapaxes(1, 2)
+    return x + out
+
+
+def _resblock(block, x, time_emb, cfg: DiffusionConfig, prefix="res_",
+              mask=None, compute_dtype=None):
+    """FiLM resblock over (B, C, T); time_emb (B, C)."""
+    gmask = None if mask is None else mask[:, None, :]
+    y = group_norm(x, cfg.n_groups, block[prefix + "in_norm_w"],
+                   block[prefix + "in_norm_b"], cfg.gn_eps, mask=gmask)
+    y = silu(y)
+    y = pdot(y.swapaxes(1, 2), block[prefix + "in_conv_w"].T, compute_dtype)
+    y = (y + block[prefix + "in_conv_b"]).swapaxes(1, 2)
+    emb = _linear(silu(time_emb), block[prefix + "emb_w"],
+                  block[prefix + "emb_b"], compute_dtype)  # (B, 2C)
+    scale, shift = jnp.split(emb, 2, axis=-1)
+    y = group_norm(y, cfg.n_groups, block[prefix + "out_norm_w"],
+                   block[prefix + "out_norm_b"], cfg.gn_eps, mask=gmask)
+    y = y * (1.0 + scale)[:, :, None] + shift[:, :, None]
+    y = silu(y)
+    if mask is not None:
+        # the FiLM shift is nonzero on padded frames; zero them before the
+        # k3 conv or they leak into the last valid frame
+        y = jnp.where(mask[:, None, :], y, 0.0)
+    y = conv1d(y, block[prefix + "out_conv_w"], block[prefix + "out_conv_b"],
+               padding=1, compute_dtype=compute_dtype)
+    if mask is not None:
+        y = jnp.where(mask[:, None, :], y, 0.0)
+    return x + y
+
+
+def _diffusion_layer(layer, x, time_emb, buckets, cfg, mask, compute_dtype):
+    x = _resblock(layer, x, time_emb, cfg, "res_", mask, compute_dtype)
+    return _attention(layer, x, layer["attn_rel_w"], buckets, cfg, mask,
+                      compute_dtype)
+
+
+def latent_conditioner(params, cfg: DiffusionConfig, latents: jax.Array,
+                       lat_buckets: jax.Array, lat_mask=None,
+                       compute_dtype=None) -> jax.Array:
+    """AR latents (B, L, 1024) -> conditioned code embedding (B, 1024, L).
+    lat_buckets: (L, L) rel-pos buckets; lat_mask: (B, L) or None."""
+    x = latents.swapaxes(1, 2)  # (B, 1024, L)
+    if lat_mask is not None:
+        x = jnp.where(lat_mask[:, None, :], x, 0.0)
+    x = conv1d(x, params["latent_conv_w"], params["latent_conv_b"],
+               padding=1, compute_dtype=compute_dtype)
+
+    def step(x, block):
+        return _attention(block, x, block["attn_rel_w"], lat_buckets, cfg,
+                          lat_mask, compute_dtype), None
+
+    x, _ = jax.lax.scan(step, x, params["latent_blocks"])
+    x = group_norm(x, cfg.n_groups, params["code_norm_w"],
+                   params["code_norm_b"], cfg.gn_eps,
+                   mask=None if lat_mask is None else lat_mask[:, None, :])
+    x = x * (1.0 + params["cond_scale"])[:, None] + params["cond_shift"][:, None]
+    return x
+
+
+def time_mlp(params, t_emb, compute_dtype=None):
+    """Sinusoidal embedding (B, C) -> FiLM time embedding (B, C)
+    (main.cpp:3331-3343)."""
+    h = silu(_linear(t_emb, params["time_w0"], params["time_b0"],
+                     compute_dtype))
+    return _linear(h, params["time_w1"], params["time_b1"], compute_dtype)
+
+
+def integrate_code(params, cfg: DiffusionConfig, code_emb, time_emb,
+                   out_buckets, mask=None, compute_dtype=None):
+    """3 conditioning_timestep_integrator layers (main.cpp:3345-3608)."""
+
+    def step(x, layer):
+        return _diffusion_layer(layer, x, time_emb, out_buckets, cfg, mask,
+                                compute_dtype), None
+
+    x, _ = jax.lax.scan(step, code_emb, params["integrator"])
+    return x
+
+
+def trunk(params, cfg: DiffusionConfig, noisy_mel, code_emb, time_emb,
+          out_buckets, mask=None, compute_dtype=None):
+    """Noisy mel (B, 100, T) + integrated code emb (B, 1024, T) ->
+    (B, 200, T) [means | var fracs] (main.cpp:3611-4044)."""
+    x = conv1d(noisy_mel, params["inp_w"], params["inp_b"], padding=1,
+               compute_dtype=compute_dtype)
+    x = jnp.concatenate([x, code_emb], axis=1)  # (B, 2048, T)
+    x = pdot(x.swapaxes(1, 2), params["integrating_w"].T, compute_dtype)
+    x = (x + params["integrating_b"]).swapaxes(1, 2)
+
+    def main_step(x, layer):
+        return _diffusion_layer(layer, x, time_emb, out_buckets, cfg, mask,
+                                compute_dtype), None
+
+    x, _ = jax.lax.scan(main_step, x, params["layers"])
+
+    def tail_step(x, layer):
+        return _resblock(layer, x, time_emb, cfg, "res_", mask,
+                         compute_dtype), None
+
+    x, _ = jax.lax.scan(tail_step, x, params["tail"])
+
+    gmask = None if mask is None else mask[:, None, :]
+    x = group_norm(x, cfg.n_groups, params["out_norm_w"],
+                   params["out_norm_b"], cfg.gn_eps, mask=gmask)
+    x = silu(x)
+    x = conv1d(x, params["out_w"], params["out_b"], padding=1,
+               compute_dtype=compute_dtype)
+    if mask is not None:
+        x = jnp.where(mask[:, None, :], x, 0.0)
+    return x
+
+
+def code_embeddings(params, cfg: DiffusionConfig, latents, lat_buckets,
+                    out_len_pad: int, lat_len=None, out_len=None,
+                    lat_mask=None, compute_dtype=None,
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Loop-invariant part of the denoiser: returns the (1, 1024, Tpad)
+    conditioned and unconditioned code embedding bases (before the
+    timestep integrator). Hoisted out of the 80-step loop — the reference
+    recomputes it every step (2x80 graph builds, main.cpp:5723-5964).
+
+    out_len_pad is the static padded length; lat_len/out_len are the true
+    (possibly traced) lengths used for the nearest-upscale indices."""
+    cond = latent_conditioner(params, cfg, latents, lat_buckets, lat_mask,
+                              compute_dtype)
+    if lat_len is None:
+        up = nearest_upscale_time(cond, out_len_pad)
+    else:
+        # bucketed: nearest indices computed from the true lengths
+        lat_len = jnp.asarray(lat_len)
+        out_len = jnp.asarray(out_len if out_len is not None else out_len_pad)
+        idx = (jnp.arange(out_len_pad) * lat_len) // jnp.maximum(out_len, 1)
+        idx = jnp.clip(idx, 0, cond.shape[-1] - 1)
+        up = jnp.take(cond, idx, axis=-1)
+    uncond = jnp.broadcast_to(
+        params["uncond"][None, :, None], up.shape
+    ).astype(up.dtype)
+    return up, uncond
+
+
+def denoise(params, cfg: DiffusionConfig, x, code_emb, t_orig,
+            out_buckets, mask=None, compute_dtype=None):
+    """One denoiser evaluation. x: (B, 100, T) noisy mel; code_emb:
+    (B, 1024, T) — pass cond/uncond stacked as batch 2 for CFG; t_orig:
+    () or (B,) ORIGINAL timestep id. Returns (B, 200, T)."""
+    from tortoise_tpu.pipeline.schedule import timestep_embedding
+
+    t_emb = timestep_embedding(
+        jnp.broadcast_to(jnp.asarray(t_orig), (x.shape[0],)),
+        cfg.timestep_dim, cfg.timestep_max_period,
+    )
+    time_emb = time_mlp(params, t_emb, compute_dtype)
+    code = integrate_code(params, cfg, code_emb, time_emb, out_buckets, mask,
+                          compute_dtype)
+    return trunk(params, cfg, x, code, time_emb, out_buckets, mask,
+                 compute_dtype)

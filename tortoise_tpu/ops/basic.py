@@ -1,0 +1,117 @@
+"""Elementwise / normalization primitives.
+
+Numerics follow the reference's ggml semantics so parity tests hold:
+
+- ``layer_norm``: ggml_norm (main.cpp usages at eps=1e-5) normalizes over the
+  channel axis with the *population* variance and no affine; the affine
+  multiply/add is applied by the caller's weights. We fuse the affine here
+  (pass w=None/b=None for the reference's bare second norm, main.cpp:2486,
+  2996).
+- ``group_norm``: ggml_group_norm(.., 32) over (channels/groups, length)
+  blocks; affine applied by callers in the reference, fused here.
+- ``gelu``: ggml_gelu is the tanh approximation (evaluated through an f16
+  lookup table in ggml; we use the analytic form — differences are ~1e-3,
+  inside the reference's own 1e-2 test tolerance).
+
+All norms compute in float32 regardless of input dtype (TPU-safe), then cast
+back.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pdot(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
+    """Matmul with explicit MXU-friendly dtype control.
+
+    Casts operands to ``compute_dtype`` (e.g. bfloat16) and accumulates in
+    float32 via ``preferred_element_type``. With compute_dtype=None the
+    matmul is true float32: on TPU that requires Precision.HIGHEST, because
+    the MXU's default "f32" matmul is a single bf16 pass (~4e-3 relative
+    error) — parity mode needs the multi-pass exact form.
+    """
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        precision = None
+    else:
+        precision = jax.lax.Precision.HIGHEST
+    return jnp.matmul(
+        x, w, preferred_element_type=jnp.float32, precision=precision
+    )
+
+
+def layer_norm(x, w=None, b=None, eps: float = 1e-5, axis: int = -1):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axis, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axis, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if w is not None:
+        out = out * w
+    if b is not None:
+        out = out + b
+    return out.astype(x.dtype)
+
+
+def masked_layer_norm(x, mask, w=None, b=None, eps: float = 1e-5):
+    """Layer norm over the last axis where ``mask`` (broadcastable, bool)
+    marks valid elements; invalid elements are zeroed in the output."""
+    xf = jnp.where(mask, x.astype(jnp.float32), 0.0)
+    n = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
+    mean = jnp.sum(xf, axis=-1, keepdims=True) / n
+    d = jnp.where(mask, xf - mean, 0.0)
+    var = jnp.sum(d * d, axis=-1, keepdims=True) / n
+    out = d * jax.lax.rsqrt(var + eps)
+    if w is not None:
+        out = out * w
+    if b is not None:
+        out = out + b
+    return jnp.where(mask, out, 0.0).astype(x.dtype)
+
+
+def group_norm(x, n_groups: int, w=None, b=None, eps: float = 1e-5,
+               mask=None):
+    """GroupNorm over (C, T) feature maps; x shape (..., C, T).
+
+    With ``mask`` (broadcastable to (..., 1, T), bool) statistics are
+    computed over valid frames only — needed because our sequence lengths
+    are padded to static buckets.
+    """
+    *lead, c, t = x.shape
+    xf = x.astype(jnp.float32).reshape(*lead, n_groups, c // n_groups, t)
+    if mask is None:
+        mean = jnp.mean(xf, axis=(-2, -1), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(-2, -1), keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    else:
+        m = jnp.broadcast_to(mask, (*lead, 1, t)).reshape(*lead, 1, 1, t)
+        xf = jnp.where(m, xf, 0.0)
+        n = jnp.maximum(jnp.sum(m, axis=(-2, -1), keepdims=True), 1) * (
+            c // n_groups
+        )
+        mean = jnp.sum(xf, axis=(-2, -1), keepdims=True) / n
+        d = jnp.where(m, xf - mean, 0.0)
+        var = jnp.sum(d * d, axis=(-2, -1), keepdims=True) / n
+        out = d * jax.lax.rsqrt(var + eps)
+    out = out.reshape(*lead, c, t)
+    if w is not None:
+        out = out * w[..., :, None]
+    if b is not None:
+        out = out + b[..., :, None]
+    if mask is not None:
+        out = jnp.where(jnp.broadcast_to(mask, (*lead, 1, t)), out, 0.0)
+    return out.astype(x.dtype)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def leaky_relu(x, negative_slope: float = 0.2):
+    return jax.nn.leaky_relu(x, negative_slope)

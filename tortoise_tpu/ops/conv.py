@@ -1,0 +1,81 @@
+"""1-D convolution wrappers over lax.conv_general_dilated, channels-first.
+
+All weights use the torch Conv1d orientation (out_ch, in_ch, kernel) — the
+layout the GGML reader delivers (io/ggml.py). The reference casts conv
+weights to f16 before ggml_conv_1d (e.g. main.cpp:3165-3172); we stay in
+f32/bf16 — differences are inside its 1e-2 tolerance.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_DN = ("NCH", "OIH", "NCH")
+
+
+def conv1d(x, w, b=None, stride: int = 1, padding: int = 0,
+           dilation: int = 1, groups: int = 1, compute_dtype=None):
+    """x: (N, C_in, T); w: (C_out, C_in/groups, K); returns (N, C_out, T')."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        precision = None
+    else:
+        precision = jax.lax.Precision.HIGHEST
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b[..., :, None]
+    return out
+
+
+def conv_transpose1d(x, w, b=None, stride: int = 1, compute_dtype=None):
+    """Transposed conv matching torch ConvTranspose1d (and the reference's
+    ggml_conv_transpose_1d, main.cpp:4155): w (C_in, C_out, K),
+    out_len = (T-1)*stride + K."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        precision = None
+    else:
+        precision = jax.lax.Precision.HIGHEST
+    k = w.shape[-1]
+    # gradient-style transposed conv: lhs-dilate by stride, full padding,
+    # flipped kernel with in/out swapped
+    w_flip = jnp.flip(w, axis=-1).swapaxes(0, 1)  # (C_out, C_in, K)
+    out = jax.lax.conv_general_dilated(
+        x, w_flip,
+        window_strides=(1,),
+        padding=[(k - 1, k - 1)],
+        lhs_dilation=(stride,),
+        dimension_numbers=_DN,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b[..., :, None]
+    return out
+
+
+def reflect_pad1d(x, pad: int):
+    """Reflection padding on the last axis (ggml_pad_reflect_1d,
+    main.cpp:4114)."""
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+
+
+def nearest_upscale_time(x, out_len: int):
+    """Nearest-neighbor upscale along the last (time) axis with
+    floor(i*in/out) index semantics — matching torch F.interpolate
+     'nearest' and the reference's ggml_upscale_ext (main.cpp:3321)."""
+    in_len = x.shape[-1]
+    idx = (jnp.arange(out_len) * in_len) // out_len
+    return jnp.take(x, idx, axis=-1)

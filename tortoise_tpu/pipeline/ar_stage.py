@@ -1,0 +1,261 @@
+"""Stage 1 driver: sample speech tokens, then extract conditioning latents.
+
+Replaces the reference's `autoregressive()` (main.cpp:5042-5367). Where the
+reference rebuilds and re-allocates a ggml graph for every generated token,
+this driver jits `ar.prefill` / `ar.decode_step` once per (batch, text
+bucket) and either:
+
+- runs the whole sample loop on-device inside `lax.while_loop`
+  (sampler="jax": production path, jax.random keys), or
+- steps from the host with the mt19937 parity sampler
+  (sampler="reference": reproduces the reference's seeded decision stream).
+
+Sequence post-processing mirrors the reference exactly:
+
+- apply_padding (main.cpp:4510-4532): strip trailing 8139s, pad with calm
+  token 83 to 500, overwrite the last 3 with 45,45,248, append stop 8193,
+  prepend start 8192 -> 502 ids.
+- trim_latents (main.cpp:4870-4915): drop the start/stop ids, keep latents
+  until >8 consecutive calm tokens have been seen.
+- the first sampling step penalizes the ids of the prefill filler vector
+  ([1,...,1,8192], main.cpp:5100-5106, 5204); later steps penalize only the
+  immediately previous sampled token per sequence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tortoise_tpu.config import ARConfig
+from tortoise_tpu.models import ar
+from tortoise_tpu.ops import sampling as S
+
+TEXT_BUCKETS = (32, 64, 128, 192, 256, 320, 404)
+
+
+def pick_bucket(n: int, buckets: Sequence[int] = TEXT_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"text too long: {n} > {buckets[-1]}")
+
+
+def apply_padding(seq: List[int], cfg: ARConfig = ARConfig()) -> List[int]:
+    """Reference apply_padding (main.cpp:4510-4532), non-mutating."""
+    out = list(seq)
+    while out and out[-1] == cfg.strip_token:
+        out.pop()
+    if len(out) > cfg.pad_mel_length:
+        raise ValueError(f"sequence too long after strip: {len(out)}")
+    out.extend([cfg.calm_token] * (cfg.pad_mel_length - len(out)))
+    out[-3:] = list(cfg.tail_tokens)
+    out.append(cfg.stop_mel_token)
+    out.insert(0, cfg.start_mel_token)
+    return out
+
+
+def trim_latents(latents: np.ndarray, padded_sequences: Sequence[Sequence[int]],
+                 cfg: ARConfig = ARConfig()) -> List[np.ndarray]:
+    """latents: (B, pad_mel_length, D); padded_sequences: B x 502 ids.
+    Returns per-sequence (n_i, D) arrays, keeping positions until more than
+    8 consecutive calm tokens have accumulated (main.cpp:4870-4915)."""
+    out = []
+    for b, seq in enumerate(padded_sequences):
+        codes = list(seq)[1:-1]  # drop start/stop
+        calm = 0
+        keep = 0
+        for c, tok in enumerate(codes):
+            calm = calm + 1 if tok == cfg.calm_token else 0
+            if calm > 8:
+                break
+            keep = c + 1
+        out.append(np.asarray(latents[b, :keep]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# jitted building blocks
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "qkv_f16"))
+def _prefill_jit(params, cfg, text_ids, text_valid, voice, compute_dtype=None,
+                 qkv_f16=False):
+    return ar.prefill(params, cfg, text_ids, text_valid, voice,
+                      compute_dtype, qkv_f16)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "qkv_f16"),
+                   donate_argnames=("cache",))
+def _decode_jit(params, cfg, cache, tokens, step, compute_dtype=None,
+                qkv_f16=False):
+    return ar.decode_step(params, cfg, cache, tokens, step, compute_dtype,
+                          qkv_f16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "qkv_f16", "max_steps"),
+    donate_argnames=("cache",),
+)
+def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
+                  max_steps: int, compute_dtype=None, qkv_f16=False):
+    """Full on-device sampling loop.
+
+    Returns (tokens (B, max_steps), n_steps, lengths (B,)): tokens beyond a
+    sequence's stop are filled with the tokens actually sampled (the
+    reference keeps decoding finished sequences); lengths[b] counts ids
+    appended to sequence b (stop token included), mirroring the
+    append-unless-finished rule (main.cpp:5205-5214).
+    """
+    b = first_logits.shape[0]
+    stop = cfg.stop_mel_token
+
+    def sample(logits, penalty_ids, key):
+        probs = S.process_logits(logits, penalty_ids)
+        return S.sample_from_probs(key, probs)
+
+    key, k0 = jax.random.split(key)
+    tok0 = sample(first_logits, first_penalty_ids, k0)
+
+    tokens0 = jnp.zeros((b, max_steps), jnp.int32).at[:, 0].set(tok0)
+    finished0 = tok0 == stop  # "finished" = appended stop already
+    lengths0 = jnp.ones((b,), jnp.int32)
+
+    def cond(state):
+        step, all_stop, *_ = state
+        return (step < max_steps) & jnp.logical_not(all_stop)
+
+    def body(state):
+        step, _, tokens, lengths, finished, cache, key = state
+        prev = tokens[:, step - 1]
+        logits, cache = ar.decode_step(params, cfg, cache, prev, step - 1,
+                                       compute_dtype, qkv_f16)
+        key, k = jax.random.split(key)
+        tok = sample(logits, prev[:, None], k)
+        tokens = tokens.at[:, step].set(tok)
+        lengths = jnp.where(finished, lengths, lengths + 1)
+        finished = finished | (tok == stop)
+        # the reference terminates only when every sequence samples the stop
+        # token in the same iteration (main.cpp:5208-5218)
+        all_stop = jnp.all(tok == stop)
+        return step + 1, all_stop, tokens, lengths, finished, cache, key
+
+    state = (jnp.int32(1), jnp.all(tok0 == stop), tokens0, lengths0,
+             finished0, cache, key)
+    step, _, tokens, lengths, finished, cache, _ = jax.lax.while_loop(
+        cond, body, state
+    )
+    return tokens, step, lengths
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "qkv_f16"))
+def _latents_jit(params, cfg, text_ids, text_valid, mel_ids, voice,
+                 compute_dtype=None, qkv_f16=False):
+    return ar.latent_forward(params, cfg, text_ids, text_valid, mel_ids,
+                             voice, compute_dtype, qkv_f16)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def _sequences_from_token_matrix(tokens, lengths, cfg):
+    """Rebuild the per-sequence id lists with the reference's
+    append-unless-finished rule."""
+    seqs = []
+    for b in range(tokens.shape[0]):
+        seq = []
+        for t in range(int(lengths[b])):
+            seq.append(int(tokens[b, t]))
+        seqs.append(seq)
+    return seqs
+
+
+def autoregressive(
+    params,
+    tokens: Sequence[int],
+    voice: np.ndarray,
+    batch_size: int = 1,
+    cfg: ARConfig = ARConfig(),
+    sampler: str = "jax",
+    seed: int = 0,
+    rng=None,
+    compute_dtype=None,
+    qkv_f16: bool = False,
+) -> Tuple[List[np.ndarray], List[List[int]]]:
+    """Run stage 1. Returns (trimmed_latents, padded_sequences), the exact
+    analogue of the reference's return pair (main.cpp:5365-5366).
+
+    sampler="jax": on-device loop, seeded by `seed`.
+    sampler="reference": host loop driven by `rng` (a ReferenceRng) with the
+    mt19937 stream semantics.
+    """
+    tokens = list(map(int, tokens))
+    t = len(tokens)
+    bucket = pick_bucket(t)
+    text_ids = np.zeros((batch_size, bucket), np.int32)
+    text_valid = np.zeros((batch_size, bucket), bool)
+    text_ids[:, :t] = tokens
+    text_valid[:, :t] = True
+
+    voice = jnp.asarray(voice, jnp.float32)
+    logits, cache = _prefill_jit(params, cfg, jnp.asarray(text_ids),
+                                 jnp.asarray(text_valid), voice,
+                                 compute_dtype, qkv_f16)
+
+    # first-step penalty ids: the prefill filler vector per sequence
+    # ([1]*(T+1) + [8192], main.cpp:5100-5106)
+    first_ids = np.full((batch_size, t + 2), 1, np.int32)
+    first_ids[:, -1] = cfg.start_mel_token
+
+    if sampler == "jax":
+        key = jax.random.PRNGKey(seed)
+        toks, n_steps, lengths = _generate_jit(
+            params, cfg, logits, jnp.asarray(first_ids), cache, key,
+            cfg.max_decode_steps, compute_dtype, qkv_f16,
+        )
+        toks = np.asarray(toks)
+        sequences = _sequences_from_token_matrix(toks, np.asarray(lengths),
+                                                 cfg)
+    elif sampler == "reference":
+        if rng is None:
+            from tortoise_tpu.rng import ReferenceRng
+
+            rng = ReferenceRng(seed)
+        sequences = [[] for _ in range(batch_size)]
+        prev_ids = [list(first_ids[b]) for b in range(batch_size)]
+        step = 0
+        while True:
+            samples = S.host_process_logits_and_sample(
+                np.asarray(logits, np.float32), prev_ids, rng
+            )
+            for b in range(batch_size):
+                if not (sequences[b] and sequences[b][-1] == cfg.stop_mel_token):
+                    sequences[b].append(int(samples[b]))
+            if all(s == cfg.stop_mel_token for s in samples):
+                break
+            if step >= cfg.max_decode_steps - 1:
+                break
+            tok = jnp.asarray(samples.astype(np.int32))
+            logits, cache = _decode_jit(params, cfg, cache, tok,
+                                        jnp.int32(step), compute_dtype,
+                                        qkv_f16)
+            prev_ids = [[int(samples[b])] for b in range(batch_size)]
+            step += 1
+    else:
+        raise ValueError(f"unknown sampler '{sampler}'")
+
+    padded = [apply_padding(s, cfg) for s in sequences]
+
+    mel_ids = jnp.asarray(np.asarray(padded, np.int32))
+    latents = _latents_jit(params, cfg, jnp.asarray(text_ids),
+                           jnp.asarray(text_valid), mel_ids, voice,
+                           compute_dtype, qkv_f16)
+    trimmed = trim_latents(np.asarray(latents), padded, cfg)
+    return trimmed, padded

@@ -1,0 +1,209 @@
+"""Stage 2 driver: 80-step DDPM with classifier-free guidance.
+
+Replaces the reference's `diffusion()` (main.cpp:5614-6042). The reference
+builds + executes 160 fresh ggml graphs per utterance (cond + uncond x 80
+steps) and does the posterior math on the CPU; here the loop-invariant
+latent conditioner runs once, cond/uncond are one batch-of-2 eval, the
+whole 80-step loop runs on-device in `lax.fori_loop`, and lengths round up
+to static buckets (masked norms/attention) so XLA compiles once per bucket.
+
+Semantics mirrored exactly (see pipeline/schedule.py for the math):
+output_sequence_length = L*4*24000/22050 (main.cpp:5616-5617); the variance
+channel comes from the CONDITIONED eval only (main.cpp:5970-5975); noise is
+drawn every step even though the final step discards it (main.cpp:6014-6028
+— matters for RNG-stream parity); loop step i handles respaced timestep
+t = 79-i.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tortoise_tpu.config import DiffusionConfig, mel_length_for_latents
+from tortoise_tpu.models import diffusion as dmodel
+from tortoise_tpu.ops.relpos import relative_position_buckets
+from tortoise_tpu.pipeline import schedule as ds
+
+LAT_BUCKET = 32
+OUT_BUCKET = 64
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _schedule_arrays(cfg: DiffusionConfig):
+    s = ds.make_schedule(cfg.n_train_timesteps)
+    return {
+        "tmap": jnp.asarray(s.timestep_map, jnp.int32),
+        "log_betas": jnp.asarray(np.log(s.betas), jnp.float32),
+        "post_logvar": jnp.asarray(s.posterior_log_variance_clipped,
+                                   jnp.float32),
+        "sqrt_recip_acp": jnp.asarray(s.sqrt_recip_alphas_cumprod,
+                                      jnp.float32),
+        "sqrt_recipm1_acp": jnp.asarray(s.sqrt_recipm1_alphas_cumprod,
+                                        jnp.float32),
+        "coef1": jnp.asarray(s.posterior_mean_coef1, jnp.float32),
+        "coef2": jnp.asarray(s.posterior_mean_coef2, jnp.float32),
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "out_len_pad", "compute_dtype"),
+)
+def _code_emb_jit(params, cfg, latents, lat_buckets, lat_len, out_len,
+                  out_len_pad, lat_mask, compute_dtype=None):
+    cond, uncond = dmodel.code_embeddings(
+        params, cfg, latents, lat_buckets, out_len_pad, lat_len, out_len,
+        lat_mask, compute_dtype,
+    )
+    return jnp.concatenate([cond, uncond], axis=0)  # (2, C, Tpad)
+
+
+def posterior_step(sched, cfg: DiffusionConfig, x, cond_mean, uncond_mean,
+                   var_frac, t, noise, variance_swap: bool = True):
+    """One CPU-free posterior update: CFG blend, learned variance, x0
+    prediction, posterior mean, ancestral sample (main.cpp:5966-6031)."""
+    k = ds.cond_free_k(t, cfg.n_sample_timesteps, cfg.cond_free_k)
+    eps = (1.0 + k) * cond_mean - k * uncond_mean
+    logvar = ds.model_log_variance(var_frac, t, sched["log_betas"],
+                                   sched["post_logvar"], variance_swap)
+    x0 = ds.predict_xstart_from_eps(
+        x, eps, sched["sqrt_recip_acp"][t], sched["sqrt_recipm1_acp"][t]
+    )
+    mean = ds.q_posterior_mean(x, x0, sched["coef1"][t], sched["coef2"][t])
+    sample = mean + jnp.exp(0.5 * logvar) * noise
+    return jnp.where(t > 0, sample, mean)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "variance_swap", "compute_dtype"),
+)
+def _diffusion_loop_jit(params, cfg, sched, code_emb2, x0_noise, out_buckets,
+                        out_mask, key, variance_swap=True,
+                        compute_dtype=None):
+    """Full 80-step loop on device. x0_noise: (1, 100, Tpad) initial noise;
+    returns (1, 100, Tpad)."""
+
+    def body(i, carry):
+        x, key = carry
+        t = cfg.n_sample_timesteps - 1 - i
+        out = dmodel.denoise(
+            params, cfg, jnp.concatenate([x, x], axis=0), code_emb2,
+            sched["tmap"][t], out_buckets, out_mask, compute_dtype,
+        )
+        cond_mean, var_frac = jnp.split(out[0:1], 2, axis=1)
+        uncond_mean = jnp.split(out[1:2], 2, axis=1)[0]
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, x.shape, x.dtype)
+        x = posterior_step(sched, cfg, x, cond_mean, uncond_mean, var_frac,
+                           t, noise, variance_swap)
+        if out_mask is not None:
+            x = jnp.where(out_mask[:, None, :], x, 0.0)
+        return x, key
+
+    x, _ = jax.lax.fori_loop(0, cfg.n_sample_timesteps, body,
+                             (x0_noise, key))
+    return x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "variance_swap", "compute_dtype")
+)
+def _denoise_eval_jit(params, cfg, code_emb2, x, t_orig, out_buckets,
+                      out_mask, variance_swap=True, compute_dtype=None):
+    out = dmodel.denoise(params, cfg, jnp.concatenate([x, x], axis=0),
+                         code_emb2, t_orig, out_buckets, out_mask,
+                         compute_dtype)
+    return out
+
+
+def diffusion(
+    params,
+    latents: np.ndarray,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    seed: int = 0,
+    rng=None,
+    variance_swap: bool = True,
+    compute_dtype=None,
+    bucketed: bool = True,
+) -> np.ndarray:
+    """Latents (L, 1024) -> normalized mel (100, T).
+
+    rng=None: fully on-device loop with jax.random noise.
+    rng=ReferenceRng: host loop that consumes the mt19937 noise stream in
+    the reference's exact order (initial noise, then one draw per step).
+    """
+    latents = np.asarray(latents, np.float32)
+    lat_len = latents.shape[0]
+    out_len = mel_length_for_latents(lat_len)
+    lat_pad = _round_up(lat_len, LAT_BUCKET) if bucketed else lat_len
+    out_pad = _round_up(out_len, OUT_BUCKET) if bucketed else out_len
+
+    lat_in = np.zeros((1, lat_pad, latents.shape[1]), np.float32)
+    lat_in[0, :lat_len] = latents
+    lat_mask = np.zeros((1, lat_pad), bool)
+    lat_mask[0, :lat_len] = True
+    out_mask = np.zeros((1, out_pad), bool)
+    out_mask[0, :out_len] = True
+
+    lat_buckets = jnp.asarray(
+        relative_position_buckets(lat_pad, cfg.rel_pos_buckets,
+                                  cfg.rel_pos_max_distance))
+    out_buckets = jnp.asarray(
+        relative_position_buckets(out_pad, cfg.rel_pos_buckets,
+                                  cfg.rel_pos_max_distance))
+    sched = _schedule_arrays(cfg)
+
+    code_emb2 = _code_emb_jit(
+        params, cfg, jnp.asarray(lat_in), lat_buckets, lat_len, out_len,
+        out_pad, jnp.asarray(lat_mask), compute_dtype,
+    )
+
+    if rng is None:
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, (1, cfg.n_mel, out_pad))
+        noise = jnp.where(jnp.asarray(out_mask)[:, None, :], noise, 0.0)
+        x = _diffusion_loop_jit(
+            params, cfg, sched, code_emb2, noise, out_buckets,
+            jnp.asarray(out_mask), key, variance_swap, compute_dtype,
+        )
+        return np.asarray(x)[0, :, :out_len]
+
+    # host-parity loop: reference noise stream order (main.cpp:5638, 6014)
+    x = np.zeros((1, cfg.n_mel, out_pad), np.float32)
+    x[0, :, :out_len] = rng.normal_f32(cfg.n_mel * out_len).reshape(
+        cfg.n_mel, out_len
+    )
+    x = jnp.asarray(x)
+    np_sched = {k: np.asarray(v) for k, v in sched.items()}
+    for i in range(cfg.n_sample_timesteps):
+        t = cfg.n_sample_timesteps - 1 - i
+        out = _denoise_eval_jit(params, cfg, code_emb2, x,
+                                np_sched["tmap"][t], out_buckets,
+                                jnp.asarray(out_mask), variance_swap,
+                                compute_dtype)
+        out = np.asarray(out)
+        cond_mean = out[0:1, : cfg.n_mel]
+        var_frac = out[0:1, cfg.n_mel :]
+        uncond_mean = out[1:2, : cfg.n_mel]
+        step_noise = np.zeros((1, cfg.n_mel, out_pad), np.float32)
+        step_noise[0, :, :out_len] = rng.normal_f32(
+            cfg.n_mel * out_len
+        ).reshape(cfg.n_mel, out_len)
+        x = posterior_step(
+            {k: jnp.asarray(v) for k, v in np_sched.items()}, cfg, x,
+            jnp.asarray(cond_mean), jnp.asarray(uncond_mean),
+            jnp.asarray(var_frac), t, jnp.asarray(step_noise), variance_swap,
+        )
+        x = jnp.where(jnp.asarray(out_mask)[:, None, :], x, 0.0)
+    return np.asarray(x)[0, :, :out_len]

@@ -68,10 +68,9 @@ class ReferenceRng:
         """The reference's sampler: draws two uniforms, keeps the second,
         returns the first index whose cumulative probability reaches it
         (main.cpp:4703-4720)."""
-        u = self.uniform(2)[1]
-        cum = 0.0
-        for i, p in enumerate(np.asarray(probs, dtype=np.float32)):
-            cum += float(p)
-            if cum >= u:
-                return i
-        return len(probs) - 1
+        u = np.float32(self.uniform(2)[1])
+        # sequential float32 accumulation, exactly like the reference's
+        # `float cumulative_probability += probs[i]` loop
+        cum = np.add.accumulate(np.asarray(probs, dtype=np.float32))
+        hits = np.nonzero(cum >= u)[0]
+        return int(hits[0]) if hits.size else len(probs) - 1
