@@ -1,0 +1,90 @@
+"""End-to-end synthesis benchmark.
+
+Runs the full three-stage pipeline (production model shapes, synthetic
+random weights — the published GGML weights are not redistributable) on
+the available accelerator and reports the real-time factor:
+
+    RTF = wall seconds / audio seconds   (lower is better)
+
+One warmup pass absorbs jit compilation; the timed pass measures steady
+state. Prints ONE JSON line:
+    {"metric": "rtf", "value": ..., "unit": "wall_s_per_audio_s",
+     "vs_baseline": ...}
+
+vs_baseline compares against the repo north-star target RTF 0.1
+(BASELINE.md; the reference publishes no numbers, BASELINE.json
+`published` is empty). Env knobs: BENCH_SMALL=1 for a reduced-size smoke
+run; BENCH_F32=1 to disable bfloat16 matmuls.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+TARGET_RTF = 0.1
+
+
+def main() -> int:
+    small = os.environ.get("BENCH_SMALL") == "1"
+    use_bf16 = os.environ.get("BENCH_F32") != "1"
+
+    import jax
+
+    from tortoise_tpu.pipeline.synthesize import TortoiseModels, synthesize
+
+    compute_dtype = None
+    if use_bf16:
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
+
+    models = TortoiseModels.random(seed=0, tiny=small)
+    if small:
+        import dataclasses
+
+        models.ar_cfg = dataclasses.replace(models.ar_cfg,
+                                            max_decode_steps=8,
+                                            pad_mel_length=8)
+    rng = np.random.default_rng(0)
+    tokens = [255] + rng.integers(
+        3, models.ar_cfg.n_text_vocab, size=24
+    ).tolist() + [0]
+    voice = rng.normal(0, 0.5, (models.ar_cfg.d_model,)).astype(np.float32)
+
+    def run(seed):
+        t0 = time.monotonic()
+        result = synthesize(models, tokens=tokens, voice=voice, seed=seed,
+                            batch_size=1, sampler="jax",
+                            compute_dtype=compute_dtype)
+        wall = time.monotonic() - t0
+        return result, wall
+
+    # warmup: compile everything (AR prefill/loop/latents, diffusion,
+    # vocoder) for this shape set
+    _, compile_wall = run(0)
+    result, wall = run(1)
+
+    audio_s = len(result.audio) / result.sample_rate
+    rtf = wall / max(audio_s, 1e-9)
+    device = str(jax.devices()[0])
+    line = {
+        "metric": "rtf",
+        "value": round(rtf, 5),
+        "unit": "wall_s_per_audio_s",
+        "vs_baseline": round(rtf / TARGET_RTF, 4),
+        "audio_s": round(audio_s, 3),
+        "wall_s": round(wall, 3),
+        "first_run_s": round(compile_wall, 3),
+        "stages_s": {k: round(v, 3) for k, v in result.timings.items()},
+        "device": device,
+        "bf16": use_bf16,
+    }
+    print(json.dumps(line))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,80 @@
+"""End-to-end pipeline + CLI tests on tiny random models."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tortoise_tpu.io.wav import read_wav
+from tortoise_tpu.pipeline.synthesize import TortoiseModels, synthesize
+from tortoise_tpu.rng import ReferenceRng
+
+
+@pytest.fixture(scope="module")
+def models():
+    return TortoiseModels.random(seed=0, tiny=True)
+
+
+def _tokens(models, n=7, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, models.ar_cfg.n_text_vocab, n).tolist()
+
+
+def test_synthesize_jax(models):
+    voice = np.random.default_rng(1).normal(
+        0, 0.5, (models.ar_cfg.d_model,)).astype(np.float32)
+    res = synthesize(models, tokens=_tokens(models), voice=voice, seed=3)
+    assert res.audio.ndim == 1 and len(res.audio) > 0
+    assert np.isfinite(res.audio).all()
+    assert res.sample_rate == models.vocoder_cfg.sample_rate
+    assert res.mel.shape[0] == models.diffusion_cfg.n_mel
+    assert set(res.timings) == {"autoregressive_s", "diffusion_s",
+                                "vocoder_s"}
+    # deterministic
+    res2 = synthesize(models, tokens=_tokens(models), voice=voice, seed=3)
+    np.testing.assert_array_equal(res.audio, res2.audio)
+
+
+def test_synthesize_reference_rng(models):
+    voice = np.zeros((models.ar_cfg.d_model,), np.float32)
+    res = synthesize(models, tokens=_tokens(models), voice=voice,
+                     sampler="reference", rng=ReferenceRng(11))
+    res2 = synthesize(models, tokens=_tokens(models), voice=voice,
+                      sampler="reference", rng=ReferenceRng(11))
+    np.testing.assert_array_equal(res.audio, res2.audio)
+
+
+def test_synthesize_save_roundtrip(models, tmp_path):
+    voice = np.zeros((models.ar_cfg.d_model,), np.float32)
+    res = synthesize(models, tokens=_tokens(models), voice=voice, seed=0)
+    path = str(tmp_path / "out.wav")
+    res.save(path)
+    audio, rate = read_wav(path)
+    assert rate == models.vocoder_cfg.sample_rate
+    np.testing.assert_array_equal(audio, res.audio.astype(np.float32))
+
+
+def test_synthesize_requires_voice(models):
+    with pytest.raises(ValueError):
+        synthesize(models, tokens=[1, 2, 3], voice=None)
+
+
+def test_cli_random_tiny(tmp_path):
+    out = str(tmp_path / "cli.wav")
+    proc = subprocess.run(
+        [sys.executable, "-m", "tortoise_tpu.cli", "--random-weights",
+         "--tiny", "--seed", "1", "--output", out,
+         "--models", "/root/reference/models"],
+        capture_output=True, text=True, timeout=900,
+        env={**__import__("os").environ,
+             "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": "",
+             "PYTHONPATH": "/root/repo"},
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    audio, rate = read_wav(out)
+    assert rate == 24000 and len(audio) > 0
+    assert "RTF" in proc.stdout

@@ -1,0 +1,121 @@
+"""Command-line entry point.
+
+Mirrors the reference CLI (main.cpp:6528-6583):
+
+    python -m tortoise_tpu.cli --message "hello world" \
+        --voice ../models/mol.bin --seed 0 --output out.wav
+
+plus flags the reference hardcodes: --models (weight dir), --batch-size
+(candidate sequences), --sampler jax|reference, --random-weights (synthetic
+checkpoint for flow testing when the GGML weights are absent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tortoise_tpu",
+        description="TPU-native Tortoise-TTS inference",
+    )
+    p.add_argument("--message", default="this is a test message.",
+                   help="text to synthesize")
+    p.add_argument("--voice", default=None,
+                   help="path to a 1024-f32 voice latent .bin")
+    p.add_argument("--output", default="output.wav", help="output WAV path")
+    p.add_argument("--seed", type=int, default=0, help="RNG seed")
+    p.add_argument("--models", default="models",
+                   help="directory with ggml-*.bin + tokenizer.json")
+    p.add_argument("--cache-dir", default=None,
+                   help="directory for converted .npz checkpoint cache")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="AR candidate sequences")
+    p.add_argument("--sampler", choices=("jax", "reference"), default="jax",
+                   help="jax: on-device sampling; reference: mt19937 parity")
+    p.add_argument("--tokenizer-method", choices=("greedy", "bpe"),
+                   default="greedy",
+                   help="greedy matches the reference runtime; bpe matches "
+                        "upstream tortoise-tts")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 matmuls (faster on TPU)")
+    p.add_argument("--random-weights", action="store_true",
+                   help="use a synthetic random checkpoint (flow testing "
+                        "without the published weights)")
+    p.add_argument("--tiny", action="store_true",
+                   help="with --random-weights: tiny test-size models")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from tortoise_tpu.pipeline.synthesize import TortoiseModels, synthesize
+
+    if args.random_weights:
+        models = TortoiseModels.random(args.seed, tiny=args.tiny)
+        if models.tokenizer is None and not args.tiny:
+            # tiny models have a toy vocab the real tokenizer would overflow
+            import os
+
+            tok_path = os.path.join(args.models, "tokenizer.json")
+            if os.path.exists(tok_path):
+                from tortoise_tpu.text.tokenizer import Tokenizer
+
+                models.tokenizer = Tokenizer.from_file(tok_path)
+    else:
+        models = TortoiseModels.from_ggml_dir(args.models, args.cache_dir)
+
+    if args.voice is not None:
+        voice = args.voice
+    else:
+        voice = np.zeros((models.ar_cfg.d_model,), np.float32)
+        print("warning: no --voice given; using a zero conditioning latent",
+              file=sys.stderr)
+
+    tokens = None
+    if models.tokenizer is None:
+        # tiny random models have no meaningful vocab; make stand-in tokens
+        rng = np.random.default_rng(args.seed)
+        tokens = rng.integers(
+            1, models.ar_cfg.n_text_vocab, size=min(16, 8)
+        ).tolist()
+        print("warning: no tokenizer.json; using stand-in tokens",
+              file=sys.stderr)
+
+    compute_dtype = None
+    if args.bf16:
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
+
+    result = synthesize(
+        models,
+        message=args.message,
+        tokens=tokens,
+        voice=voice,
+        seed=args.seed,
+        batch_size=args.batch_size,
+        sampler=args.sampler,
+        compute_dtype=compute_dtype,
+        tokenizer_method=args.tokenizer_method,
+    )
+    result.save(args.output)
+    total = sum(result.timings.values())
+    dur = len(result.audio) / result.sample_rate
+    print(
+        f"wrote {args.output}: {len(result.audio)} samples "
+        f"({dur:.2f}s @ {result.sample_rate} Hz); "
+        f"stages: " + ", ".join(
+            f"{k}={v:.2f}s" for k, v in result.timings.items())
+        + f"; total {total:.2f}s (RTF {total / max(dur, 1e-9):.3f})"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

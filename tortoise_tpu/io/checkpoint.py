@@ -128,6 +128,9 @@ def save_npz(path: str, params: dict) -> None:
         if isinstance(node, dict):
             for k, v in node.items():
                 rec(f"{prefix}{k}/", v)
+        elif isinstance(node, (list, tuple)):
+            for k, v in enumerate(node):
+                rec(f"{prefix}#{k}/", v)  # '#' marks list indices
         else:
             flat[prefix[:-1]] = np.asarray(node)
 
@@ -144,7 +147,15 @@ def load_npz(path: str) -> dict:
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = z[key]
-    return out
+
+    def delistify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.startswith("#") for k in node):
+            return [delistify(node[f"#{i}"]) for i in range(len(node))]
+        return {k: delistify(v) for k, v in node.items()}
+
+    return delistify(out)
 
 
 def convert_ar_checkpoint(ggml_path: str, cache_path: str | None = None,
@@ -332,6 +343,120 @@ def convert_diffusion_checkpoint(ggml_path: str, cache_path=None,
     from tortoise_tpu.io.ggml import read_ggml
 
     params = diffusion_params_from_tensors(read_ggml(ggml_path), cfg)
+    if cache_path:
+        save_npz(cache_path, params)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# vocoder model (ggml-vocoder-model.bin, loader at main.cpp:1665-2021)
+# ---------------------------------------------------------------------------
+
+from tortoise_tpu.config import VocoderConfig  # noqa: E402
+
+
+def vocoder_tensor_inventory(cfg: VocoderConfig = VocoderConfig()):
+    ch, noise, mel = cfg.ch, cfg.noise_ch, cfg.n_mel
+    kp, out2 = cfg.kpnet_ch, cfg.lvc_out_ch
+    inv = {
+        "conv_pre.weight": (ch, noise, 7),
+        "conv_pre.bias": (ch,),
+        "conv_post.1.weight": (1, ch, 7),
+        "conv_post.1.bias": (1,),
+    }
+    for i, stride in enumerate(cfg.strides):
+        p = f"res_stack.{i}."
+        inv[p + "kernel_predictor.input_conv.0.weight"] = (kp, mel, 5)
+        inv[p + "kernel_predictor.input_conv.0.bias"] = (kp,)
+        for c in range(3):
+            rp = p + f"kernel_predictor.residual_convs.{c}."
+            inv[rp + "1.weight"] = (kp, kp, 3)
+            inv[rp + "1.bias"] = (kp,)
+            inv[rp + "3.weight"] = (kp, kp, 3)
+            inv[rp + "3.bias"] = (kp,)
+        inv[p + "kernel_predictor.kernel_conv.weight"] = (
+            cfg.kpnet_kernel_ch, kp, 3)
+        inv[p + "kernel_predictor.kernel_conv.bias"] = (cfg.kpnet_kernel_ch,)
+        inv[p + "kernel_predictor.bias_conv.weight"] = (cfg.kpnet_bias_ch,
+                                                        kp, 3)
+        inv[p + "kernel_predictor.bias_conv.bias"] = (cfg.kpnet_bias_ch,)
+        inv[p + "convt_pre.1.weight"] = (ch, ch, 2 * stride)
+        inv[p + "convt_pre.1.bias"] = (ch,)
+        for c in range(len(cfg.dilations)):
+            inv[p + f"conv_blocks.{c}.1.weight"] = (ch, ch, 3)
+            inv[p + f"conv_blocks.{c}.1.bias"] = (ch,)
+    return inv
+
+
+def vocoder_params_from_tensors(tensors,
+                                cfg: VocoderConfig = VocoderConfig()):
+    """conv_post.1.weight is stored 2-D (7, 32) in ggml ne (main.cpp:1786)
+    == numpy (32, 7); reshape to (1, 32, 7)."""
+    post_w = np.asarray(tensors["conv_post.1.weight"]).reshape(1, cfg.ch, 7)
+    stages = []
+    for i in range(len(cfg.strides)):
+        p = f"res_stack.{i}."
+        stages.append({
+            "kp_in_w": np.asarray(
+                tensors[p + "kernel_predictor.input_conv.0.weight"]),
+            "kp_in_b": np.asarray(
+                tensors[p + "kernel_predictor.input_conv.0.bias"]),
+            "kp_res": {
+                "w1": np.stack([np.asarray(
+                    tensors[p + f"kernel_predictor.residual_convs.{c}.1.weight"])
+                    for c in range(3)]),
+                "b1": np.stack([np.asarray(
+                    tensors[p + f"kernel_predictor.residual_convs.{c}.1.bias"])
+                    for c in range(3)]),
+                "w3": np.stack([np.asarray(
+                    tensors[p + f"kernel_predictor.residual_convs.{c}.3.weight"])
+                    for c in range(3)]),
+                "b3": np.stack([np.asarray(
+                    tensors[p + f"kernel_predictor.residual_convs.{c}.3.bias"])
+                    for c in range(3)]),
+            },
+            "kp_kernel_w": np.asarray(
+                tensors[p + "kernel_predictor.kernel_conv.weight"]),
+            "kp_kernel_b": np.asarray(
+                tensors[p + "kernel_predictor.kernel_conv.bias"]),
+            "kp_bias_w": np.asarray(
+                tensors[p + "kernel_predictor.bias_conv.weight"]),
+            "kp_bias_b": np.asarray(
+                tensors[p + "kernel_predictor.bias_conv.bias"]),
+            "convt_w": np.asarray(tensors[p + "convt_pre.1.weight"]),
+            "convt_b": np.asarray(tensors[p + "convt_pre.1.bias"]),
+            "cb_w": np.stack([np.asarray(
+                tensors[p + f"conv_blocks.{c}.1.weight"])
+                for c in range(len(cfg.dilations))]),
+            "cb_b": np.stack([np.asarray(
+                tensors[p + f"conv_blocks.{c}.1.bias"])
+                for c in range(len(cfg.dilations))]),
+        })
+    return {
+        "pre_w": np.asarray(tensors["conv_pre.weight"]),
+        "pre_b": np.asarray(tensors["conv_pre.bias"]),
+        "stages": stages,
+        "post_w": post_w,
+        "post_b": np.asarray(tensors["conv_post.1.bias"]),
+    }
+
+
+def random_vocoder_params(cfg: VocoderConfig, seed: int = 0):
+    tensors = random_ggml_tensors(vocoder_tensor_inventory(cfg), seed,
+                                  scale=0.05)
+    # store conv_post 2-D like the real file
+    tensors["conv_post.1.weight"] = tensors["conv_post.1.weight"].reshape(
+        cfg.ch, 7)
+    return vocoder_params_from_tensors(tensors, cfg)
+
+
+def convert_vocoder_checkpoint(ggml_path: str, cache_path=None,
+                               cfg: VocoderConfig = VocoderConfig()):
+    if cache_path and os.path.exists(cache_path):
+        return load_npz(cache_path)
+    from tortoise_tpu.io.ggml import read_ggml
+
+    params = vocoder_params_from_tensors(read_ggml(ggml_path), cfg)
     if cache_path:
         save_npz(cache_path, params)
     return params

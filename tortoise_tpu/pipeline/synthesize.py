@@ -1,0 +1,173 @@
+"""Full three-stage synthesis: text -> speech tokens -> mel -> audio.
+
+The analogue of the reference's `main()` flow (main.cpp:6528-6583):
+tokenize (space -> [SPACE], wrap with 255/0), run the AR stage for
+candidate sequences + conditioning latents, decode latents to a mel with
+the 80-step CFG DDPM, vocode to 24 kHz float audio.
+
+Seeding: sampler="jax" derives independent jax.random streams per stage
+from `seed`; sampler="reference" threads ONE mt19937 ReferenceRng through
+all stages in the reference's global-generator draw order (AR multinomials,
+diffusion initial noise, 80 step noises, vocoder noise —
+main.cpp:39-50, 5638, 6014, 6056).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from tortoise_tpu.config import ARConfig, DiffusionConfig, VocoderConfig
+from tortoise_tpu.io.voice import load_voice_latent
+from tortoise_tpu.io.wav import write_wav
+from tortoise_tpu.pipeline import ar_stage, diffusion_stage, vocoder_stage
+from tortoise_tpu.text.tokenizer import Tokenizer
+
+
+@dataclasses.dataclass
+class TortoiseModels:
+    ar_params: dict
+    diffusion_params: dict
+    vocoder_params: dict
+    ar_cfg: ARConfig = ARConfig()
+    diffusion_cfg: DiffusionConfig = DiffusionConfig()
+    vocoder_cfg: VocoderConfig = VocoderConfig()
+    tokenizer: Optional[Tokenizer] = None
+
+    @classmethod
+    def from_ggml_dir(cls, model_dir: str, cache_dir: Optional[str] = None,
+                      **cfgs) -> "TortoiseModels":
+        """Load the reference's model files from a directory laid out like
+        its `models/` (README.md:31-38)."""
+        import os
+
+        from tortoise_tpu.io.checkpoint import (
+            convert_ar_checkpoint,
+            convert_diffusion_checkpoint,
+            convert_vocoder_checkpoint,
+        )
+
+        def cache(name):
+            return os.path.join(cache_dir, name) if cache_dir else None
+
+        tok_path = os.path.join(model_dir, "tokenizer.json")
+        return cls(
+            ar_params=convert_ar_checkpoint(
+                os.path.join(model_dir, "ggml-model.bin"), cache("ar.npz")),
+            diffusion_params=convert_diffusion_checkpoint(
+                os.path.join(model_dir, "ggml-diffusion-model.bin"),
+                cache("diffusion.npz")),
+            vocoder_params=convert_vocoder_checkpoint(
+                os.path.join(model_dir, "ggml-vocoder-model.bin"),
+                cache("vocoder.npz")),
+            tokenizer=(Tokenizer.from_file(tok_path)
+                       if os.path.exists(tok_path) else None),
+            **cfgs,
+        )
+
+    @classmethod
+    def random(cls, seed: int = 0, tiny: bool = False) -> "TortoiseModels":
+        """Synthetic weights with the production (or tiny) tensor
+        inventory — for benchmarking and flow tests (the published weights
+        are not redistributable with this repo)."""
+        from tortoise_tpu.config import (
+            tiny_ar_config,
+            tiny_diffusion_config,
+            tiny_vocoder_config,
+        )
+        from tortoise_tpu.io.checkpoint import (
+            random_ar_params,
+            random_diffusion_params,
+            random_vocoder_params,
+        )
+
+        acfg = tiny_ar_config() if tiny else ARConfig()
+        dcfg = tiny_diffusion_config() if tiny else DiffusionConfig()
+        vcfg = tiny_vocoder_config() if tiny else VocoderConfig()
+        return cls(
+            ar_params=random_ar_params(acfg, seed),
+            diffusion_params=random_diffusion_params(dcfg, seed + 1),
+            vocoder_params=random_vocoder_params(vcfg, seed + 2),
+            ar_cfg=acfg, diffusion_cfg=dcfg, vocoder_cfg=vcfg,
+        )
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    audio: np.ndarray
+    sample_rate: int
+    mel: np.ndarray
+    sequences: List[List[int]]
+    latents: List[np.ndarray]
+    tokens: List[int]
+    timings: dict
+
+    def save(self, path: str) -> None:
+        write_wav(path, self.audio, self.sample_rate)
+
+
+def synthesize(
+    models: TortoiseModels,
+    message: Optional[str] = None,
+    tokens: Optional[List[int]] = None,
+    voice: "np.ndarray | str" = None,
+    seed: int = 0,
+    batch_size: int = 1,
+    sampler: str = "jax",
+    rng=None,
+    compute_dtype=None,
+    tokenizer_method: str = "greedy",
+) -> SynthesisResult:
+    """Run the full pipeline. Provide `message` (tokenized via the models'
+    tokenizer) or raw wrapped `tokens`. `voice` is a 1024-f32 latent array
+    or a path to a voice .bin."""
+    if tokens is None:
+        if models.tokenizer is None:
+            raise ValueError("no tokenizer available; pass tokens directly")
+        tokens = models.tokenizer.encode_pipeline(message, tokenizer_method)
+    if isinstance(voice, str):
+        voice = load_voice_latent(voice, models.ar_cfg.d_model)
+    if voice is None:
+        raise ValueError("a voice latent (array or path) is required")
+
+    if sampler == "reference" and rng is None:
+        from tortoise_tpu.rng import ReferenceRng
+
+        rng = ReferenceRng(seed)
+
+    timings = {}
+    t0 = time.monotonic()
+    latents, sequences = ar_stage.autoregressive(
+        models.ar_params, tokens, voice, batch_size, models.ar_cfg,
+        sampler=sampler, seed=seed, rng=rng, compute_dtype=compute_dtype,
+    )
+    timings["autoregressive_s"] = time.monotonic() - t0
+
+    # like the reference CLI, synthesize from the first candidate
+    # (main.cpp:6577-6579)
+    t0 = time.monotonic()
+    mel = diffusion_stage.diffusion(
+        models.diffusion_params, latents[0], models.diffusion_cfg,
+        seed=seed + 1, rng=rng, compute_dtype=compute_dtype,
+    )
+    timings["diffusion_s"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    audio = vocoder_stage.vocoder(
+        models.vocoder_params, mel, models.vocoder_cfg, seed=seed + 2,
+        rng=rng, compute_dtype=compute_dtype,
+    )
+    timings["vocoder_s"] = time.monotonic() - t0
+
+    return SynthesisResult(
+        audio=audio,
+        sample_rate=models.vocoder_cfg.sample_rate,
+        mel=mel,
+        sequences=sequences,
+        latents=latents,
+        tokens=list(tokens),
+        timings=timings,
+    )

@@ -1,0 +1,85 @@
+"""Stage 3 driver: mel -> 24 kHz audio.
+
+Replaces the reference's `vocoder()` (main.cpp:6044-6127): denormalize the
+[-1,1] mel to the Tacotron dB range, append 10 frames of -11.5129
+(main.cpp:6051-6054), draw 64-channel Gaussian noise, run the single
+vocoder pass, return the (M*256 - 6)-sample float audio. Lengths round up
+to a static bucket (masked, with the right-edge reflect pad emulated at
+the true boundary) so XLA compiles once per bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tortoise_tpu.config import (
+    MEL_PAD_VALUE,
+    TACOTRON_MEL_MAX,
+    TACOTRON_MEL_MIN,
+    VocoderConfig,
+)
+from tortoise_tpu.models import vocoder as vmodel
+
+MEL_BUCKET = 32
+
+
+def denormalize_tacotron_mel(mel):
+    """[-1,1] -> [TACOTRON_MEL_MIN, TACOTRON_MEL_MAX] (main.cpp:5575-5584)."""
+    return ((mel + 1.0) / 2.0) * (TACOTRON_MEL_MAX - TACOTRON_MEL_MIN) \
+        + TACOTRON_MEL_MIN
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def _vocoder_jit(params, cfg, mel, noise, mel_len, compute_dtype=None):
+    return vmodel.vocoder_forward(params, cfg, mel, noise, mel_len,
+                                  compute_dtype)
+
+
+def vocoder(
+    params,
+    mel: np.ndarray,
+    cfg: VocoderConfig = VocoderConfig(),
+    seed: int = 0,
+    rng=None,
+    compute_dtype=None,
+    bucketed: bool = True,
+) -> np.ndarray:
+    """Normalized mel (n_mel, M) -> audio float32 (M_total*up - 6,) where
+    M_total = M + mel_pad_frames.
+
+    rng=None: jax.random noise; rng=ReferenceRng: the reference's mt19937
+    noise stream (drawn before the model pass, main.cpp:6056-6060)."""
+    mel = np.asarray(mel, np.float32)
+    n_mel, m = mel.shape
+    total = m + cfg.mel_pad_frames
+    pad_total = _round_up(total, MEL_BUCKET) if bucketed else total
+
+    mel_in = np.zeros((1, n_mel, pad_total), np.float32)
+    mel_in[0, :, :m] = denormalize_tacotron_mel(mel)
+    mel_in[0, :, m:total] = MEL_PAD_VALUE
+
+    if rng is None:
+        key = jax.random.PRNGKey(seed)
+        noise = np.asarray(
+            jax.random.normal(key, (1, cfg.noise_ch, pad_total))
+        )
+    else:
+        noise = np.zeros((1, cfg.noise_ch, pad_total), np.float32)
+        noise[0, :, :total] = rng.normal_f32(cfg.noise_ch * total).reshape(
+            cfg.noise_ch, total
+        )
+
+    audio = _vocoder_jit(params, cfg, jnp.asarray(mel_in),
+                         jnp.asarray(noise), jnp.int32(total),
+                         compute_dtype)
+    n_out = total * cfg.total_upsample - 6
+    return np.asarray(audio)[0, :n_out]
