@@ -1,0 +1,170 @@
+"""Golden parity tests against the reference's shipped fixtures.
+
+These mirror test_autoregressive/test_diffusion/test_vocoder
+(main.cpp:6256-6510) and require the (non-redistributable) GGML weight
+files in /root/reference/models — they skip when absent. Fixtures that ARE
+shipped: serialized mt19937 states, diffusion_input.bin (43x1024 latents),
+target_mel.bin (100x187), target_audio.bin (50,426 samples),
+target_trimmed_latents.bin (177x1024), and the golden token table hardcoded
+in main.cpp:6288-6456 (parsed out of the source here).
+
+Tolerances follow the reference: |diff| <= 0.01 per element
+(main.cpp:6201, 6223); token ids exact.
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+MODELS = f"{REF}/models"
+ASSETS = f"{REF}/assets"
+
+HAVE_AR = os.path.exists(f"{MODELS}/ggml-model.bin")
+HAVE_DIFF = os.path.exists(f"{MODELS}/ggml-diffusion-model.bin")
+HAVE_VOC = os.path.exists(f"{MODELS}/ggml-vocoder-model.bin")
+
+needs_ar = pytest.mark.skipif(not HAVE_AR, reason="AR weights not present")
+needs_diff = pytest.mark.skipif(not HAVE_DIFF,
+                                reason="diffusion weights not present")
+needs_voc = pytest.mark.skipif(not HAVE_VOC,
+                               reason="vocoder weights not present")
+
+TEST_TOKENS = [255, 15, 55, 49, 9, 9, 9, 2, 134, 16, 51, 31, 2, 19, 46, 18,
+               176, 13, 0, 0]  # main.cpp:6267-6269
+
+
+def load_f32(path, count=None):
+    return np.fromfile(path, dtype=np.float32, count=count or -1)
+
+
+def golden_token_table():
+    """Parse the 4x500 target_sequences table out of the reference source
+    (main.cpp:6288-6456)."""
+    src = open(f"{REF}/main.cpp").read()
+    m = re.search(
+        r"std::vector<std::vector<int>> target_sequences = \{(.*?)\};",
+        src, re.S)
+    assert m, "target_sequences table not found"
+    rows = re.findall(r"\{([^{}]*)\}", m.group(1))
+    table = [[int(x) for x in re.findall(r"\d+", row)] for row in rows]
+    assert len(table) == 4 and all(len(r) == 500 for r in table)
+    return table
+
+
+def make_reference_rng(seed_file, dist_file=None):
+    from tortoise_tpu.rng import ReferenceRng
+
+    rng = ReferenceRng(0)
+    rng.load_state_file(seed_file)
+    if dist_file:
+        try:
+            rng.load_normal_state_file(dist_file)
+        except Exception:
+            pass  # uniform-distribution fixtures carry no state
+    return rng
+
+
+def test_golden_table_parses():
+    table = golden_token_table()
+    assert table[0][:4] == [8, 7406, 6450, 1601]
+    assert all(8193 in row for row in table)
+
+
+@needs_ar
+class TestAutoregressive:
+    @pytest.fixture(scope="class")
+    def run(self):
+        from tortoise_tpu.io.checkpoint import convert_ar_checkpoint
+        from tortoise_tpu.io.voice import load_voice_latent
+        from tortoise_tpu.pipeline import ar_stage
+
+        params = convert_ar_checkpoint(f"{MODELS}/ggml-model.bin")
+        rng = make_reference_rng(
+            f"{ASSETS}/test_autoregressive_seed.bin",
+            f"{ASSETS}/test_autoregressive_distribution.bin")
+        voice = load_voice_latent(f"{MODELS}/mol.bin")
+        return ar_stage.autoregressive(
+            params, TEST_TOKENS, voice, batch_size=4, sampler="reference",
+            rng=rng)
+
+    def test_sampled_sequences_match(self, run):
+        _, sequences = run
+        got = [s[1:-1] for s in sequences]  # the reference compares the
+        # trim_latents-mutated view (start/stop stripped, main.cpp:4881-4886)
+        want = golden_token_table()
+        mismatches = sum(
+            1 for g, w in zip(got, want) for a, b in zip(g, w) if a != b)
+        assert mismatches == 0, f"{mismatches} token mismatches"
+
+    def test_trimmed_latents_match(self, run):
+        latents, _ = run
+        flat = np.concatenate([l.reshape(-1) for l in latents])
+        want = load_f32(f"{ASSETS}/target_trimmed_latents.bin")
+        assert flat.shape == want.shape
+        np.testing.assert_allclose(flat, want, atol=0.01)
+
+    def test_latents_given_golden_tokens(self):
+        """Graph-level parity isolated from sampler chaos: feed the golden
+        token table through the latent pass directly."""
+        import jax.numpy as jnp
+
+        from tortoise_tpu.io.checkpoint import convert_ar_checkpoint
+        from tortoise_tpu.io.voice import load_voice_latent
+        from tortoise_tpu.models import ar
+        from tortoise_tpu.config import ARConfig
+        from tortoise_tpu.pipeline.ar_stage import trim_latents
+
+        cfg = ARConfig()
+        params = convert_ar_checkpoint(f"{MODELS}/ggml-model.bin")
+        voice = load_voice_latent(f"{MODELS}/mol.bin")
+        table = golden_token_table()
+        mel_ids = np.asarray(
+            [[8192] + row + [8193] for row in table], np.int32)
+        t = len(TEST_TOKENS)
+        latents = ar.latent_forward(
+            params, cfg, jnp.asarray(np.tile(TEST_TOKENS, (4, 1))),
+            jnp.ones((4, t), bool), jnp.asarray(mel_ids), jnp.asarray(voice))
+        trimmed = trim_latents(np.asarray(latents),
+                               [list(r) for r in mel_ids], cfg)
+        flat = np.concatenate([l.reshape(-1) for l in trimmed])
+        want = load_f32(f"{ASSETS}/target_trimmed_latents.bin")
+        assert flat.shape == want.shape
+        np.testing.assert_allclose(flat, want, atol=0.01)
+
+
+@needs_diff
+def test_diffusion_golden_mel():
+    from tortoise_tpu.io.checkpoint import convert_diffusion_checkpoint
+    from tortoise_tpu.pipeline import diffusion_stage
+
+    params = convert_diffusion_checkpoint(
+        f"{MODELS}/ggml-diffusion-model.bin")
+    rng = make_reference_rng(
+        f"{ASSETS}/test_diffusion_seed.bin",
+        f"{ASSETS}/test_diffusion_normal_distribution.bin")
+    latents = load_f32(f"{ASSETS}/diffusion_input.bin").reshape(43, 1024)
+    mel = diffusion_stage.diffusion(params, latents, rng=rng)
+    want = load_f32(f"{ASSETS}/target_mel.bin").reshape(100, 187)
+    assert mel.shape == want.shape
+    np.testing.assert_allclose(mel, want, atol=0.01)
+
+
+@needs_voc
+def test_vocoder_golden_audio():
+    from tortoise_tpu.io.checkpoint import convert_vocoder_checkpoint
+    from tortoise_tpu.pipeline import vocoder_stage
+    from tortoise_tpu.rng import ReferenceRng
+
+    params = convert_vocoder_checkpoint(f"{MODELS}/ggml-vocoder-model.bin")
+    # test_vocoder runs with whatever generator state follows the diffusion
+    # test when chained; standalone the reference uses the process-default
+    # seed. We use the default-constructed engine (seed 5489).
+    rng = ReferenceRng(5489)
+    mel = load_f32(f"{ASSETS}/target_mel.bin").reshape(100, 187)
+    audio = vocoder_stage.vocoder(params, mel, rng=rng)
+    want = load_f32(f"{ASSETS}/target_audio.bin")
+    assert audio.shape == want.shape
+    np.testing.assert_allclose(audio, want, atol=0.01)
