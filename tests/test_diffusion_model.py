@@ -227,3 +227,23 @@ def test_qkv_head_interleaving_locality(setup):
     o2 = dm.denoise(p2, cfg, xb, jnp.asarray(base), jnp.int32(5),
                     out_buckets)
     assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 0
+
+
+def test_flash_attention_path_matches(setup):
+    """cfg.use_flash routes attention through the Pallas kernel (interpret
+    mode on CPU) and must match the XLA path."""
+    import dataclasses
+
+    cfg, params, latents, x = setup
+    out_len = x.shape[-1]
+    out_buckets = jnp.asarray(relative_position_buckets(
+        out_len, cfg.rel_pos_buckets, cfg.rel_pos_max_distance))
+    base = np.broadcast_to(np.asarray(params["uncond"])[None, :, None],
+                           (1, cfg.d_model, out_len))
+    o_xla = dm.denoise(params, cfg, jnp.asarray(x[None]), jnp.asarray(base),
+                       jnp.int32(7), out_buckets)
+    fcfg = dataclasses.replace(cfg, use_flash=True)
+    o_flash = dm.denoise(params, fcfg, jnp.asarray(x[None]),
+                         jnp.asarray(base), jnp.int32(7), out_buckets)
+    np.testing.assert_allclose(np.asarray(o_flash), np.asarray(o_xla),
+                               atol=5e-4)

@@ -1,0 +1,81 @@
+"""Pallas flash-attention kernel vs the XLA reference (interpret mode on
+CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tortoise_tpu.ops.pallas.flash_attention import (
+    flash_attention,
+    xla_attention,
+)
+
+
+def rand(shape, seed=0, scale=1.0):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(0, scale, shape).astype(np.float32)
+    )
+
+
+@pytest.mark.parametrize("t", [16, 40, 128])
+def test_plain_attention_matches(t):
+    b, h, d = 2, 3, 32
+    q, k, v = (rand((b, h, t, d), s) for s in (1, 2, 3))
+    got = flash_attention(q, k, v, bq=16, bk=16, interpret=True)
+    want = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_bias_and_mask():
+    b, h, t, d = 2, 2, 48, 16
+    q, k, v = (rand((b, h, t, d), s) for s in (1, 2, 3))
+    bias = rand((h, t, t), 4, 2.0)
+    valid = np.ones((b, t), bool)
+    valid[0, 40:] = False
+    valid[1, 13:] = False
+    got = flash_attention(q, k, v, bias, jnp.asarray(valid), bq=16, bk=16,
+                          interpret=True)
+    want = xla_attention(q, k, v, bias, jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(got)[:, :, :40],
+                               np.asarray(want)[:, :, :40], atol=2e-5)
+
+
+def test_causal():
+    b, h, t, d = 1, 2, 64, 32
+    q, k, v = (rand((b, h, t, d), s) for s in (5, 6, 7))
+    got = flash_attention(q, k, v, causal=True, bq=16, bk=16,
+                          interpret=True)
+    want = xla_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_causal_with_key_mask():
+    b, h, t, d = 2, 1, 32, 16
+    q, k, v = (rand((b, h, t, d), s) for s in (8, 9, 10))
+    valid = np.ones((b, t), bool)
+    valid[:, 5:9] = False  # padded text region mid-sequence
+    got = flash_attention(q, k, v, kv_valid=jnp.asarray(valid), causal=True,
+                          bq=8, bk=8, interpret=True)
+    want = xla_attention(q, k, v, kv_valid=jnp.asarray(valid), causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_unaligned_length_pads():
+    b, h, t, d = 1, 1, 37, 16
+    q, k, v = (rand((b, h, t, d), s) for s in (11, 12, 13))
+    got = flash_attention(q, k, v, bq=16, bk=16, interpret=True)
+    want = xla_attention(q, k, v)
+    assert got.shape == (b, h, t, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_bf16_inputs():
+    b, h, t, d = 1, 2, 32, 32
+    q, k, v = (rand((b, h, t, d), s).astype(jnp.bfloat16)
+               for s in (1, 2, 3))
+    got = flash_attention(q, k, v, bq=16, bk=16, interpret=True)
+    want = xla_attention(q, k, v)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.02)

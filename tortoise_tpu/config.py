@@ -66,6 +66,7 @@ class DiffusionConfig:
     n_train_timesteps: int = 4000    # get_beta_schedule(4000) (main.cpp:5656)
     n_sample_timesteps: int = 80     # respaced loop (main.cpp:5723)
     cond_free_k: float = 2.0         # base_conditioning_free_k (main.cpp:5654)
+    use_flash: bool = False          # Pallas flash-attention kernel
 
     @property
     def d_head(self) -> int:

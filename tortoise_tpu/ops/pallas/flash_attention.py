@@ -1,0 +1,203 @@
+"""Flash attention (forward-only) Pallas TPU kernel with additive bias.
+
+Built for the hot attention sites of this engine (inference only, so no
+backward pass):
+
+- diffusion / latent-conditioner attention: NON-causal, T5 rel-pos bucket
+  bias (shared across batch), padded-length key masking. The XLA fallback
+  materializes (B, H, T, T) scores — ~1.2 GB f32 at T=2176 — per layer;
+  this kernel streams KV tiles through VMEM with online softmax instead.
+- AR prefill/latent trunk attention: causal + key-validity masking.
+
+Layout: q, k, v (B, H, T, D); bias (H, T, T) or None; kv_valid (B, T) bool
+or None; causal flag. Returns (B, H, T, D) in float32.
+
+The kernel grid is (B, H, T/BQ); each program streams the KV axis in BK
+tiles with a fori_loop carrying the running max / normalizer / accumulator
+(the standard online-softmax recurrence). Matmuls accumulate in f32 via
+``preferred_element_type``; masked or future tiles are skipped via
+``@pl.when`` so causal attention does ~half the work.
+
+Falls back to interpreter mode off-TPU (tests run it on CPU), and the
+pure-XLA reference implementation lives in ``xla_attention`` for A/B
+checks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
+                 bq: int, bk: int, t_kv: int, causal: bool, scale: float,
+                 have_bias: bool, have_mask: bool):
+    qi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # (BQ, D)
+    n_kv = t_kv // bk
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+        if have_bias:
+            s = s + bias_ref[0, :, pl.ds(j * bk, bk)]
+        if have_mask:
+            valid = mask_ref[0, pl.ds(j * bk, bk)]
+            s = jnp.where(valid[None, :], s, NEG_INF)
+        if causal:
+            qpos = qi * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 0)
+            kpos = j * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 1)
+            s = jnp.where(kpos <= qpos, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v,
+                                    preferred_element_type=jnp.float32)
+        return m_new, l, acc
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, q_ref.shape[-1]), jnp.float32)
+
+    if causal:
+        # skip KV tiles strictly after this query tile
+        n_run = jnp.minimum((qi + 1) * bq + bk - 1, t_kv) // bk
+        m, l, acc = jax.lax.fori_loop(0, n_run, body, (m0, l0, acc0))
+    else:
+        m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+
+    out_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
+def _pad_to(x, axis, mult):
+    t = x.shape[axis]
+    pad = (-t) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "bq", "bk", "interpret"),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    kv_valid: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    bq: int = 128,
+    bk: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """q,k,v: (B, H, T, D); bias: (H, T, T) additive (f32); kv_valid:
+    (B, T) bool. Returns f32 (B, H, T, D)."""
+    b, h, t, d = q.shape
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    bq = min(bq, max(t, 8))
+    bk = min(bk, max(t, 8))
+
+    qp = _pad_to(q, 2, bq)
+    kp = _pad_to(k, 2, bk)
+    vp = _pad_to(v, 2, bk)
+    tq, tkv = qp.shape[2], kp.shape[2]
+
+    if kv_valid is None and tkv != t:
+        kv_valid = jnp.ones((b, t), bool)
+    have_mask = kv_valid is not None
+    if have_mask:
+        maskp = _pad_to(kv_valid, 1, bk)  # pads with False
+    have_bias = bias is not None
+    if have_bias:
+        biasp = _pad_to(_pad_to(bias.astype(jnp.float32), 1, bq), 2, bk)
+
+    grid = (b, h, tq // bq)
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, tkv, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+        pl.BlockSpec((1, 1, tkv, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+    ]
+    args = [qp, kp, vp]
+    if have_bias:
+        in_specs.append(
+            pl.BlockSpec((1, bq, tkv), lambda bi, hi, qi: (hi, qi, 0)))
+        args.append(biasp)
+    if have_mask:
+        in_specs.append(pl.BlockSpec((1, tkv), lambda bi, hi, qi: (bi, 0)))
+        args.append(maskp)
+
+    kernel = functools.partial(
+        _attn_kernel if have_bias and have_mask else
+        _kernel_variant(have_bias, have_mask),
+        bq=bq, bk=bk, t_kv=tkv, causal=causal, scale=scale,
+        have_bias=have_bias, have_mask=have_mask,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, bq, d),
+                               lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, d), jnp.float32),
+        interpret=interpret,
+    )(*args)
+    return out[:, :, :t, :]
+
+
+def _kernel_variant(have_bias: bool, have_mask: bool):
+    """Adapt the kernel signature to the optional operands."""
+    if have_bias and have_mask:
+        return _attn_kernel
+    if have_bias:
+        def k_b(q_ref, k_ref, v_ref, bias_ref, out_ref, **kw):
+            return _attn_kernel(q_ref, k_ref, v_ref, bias_ref, None,
+                                out_ref, **kw)
+        return k_b
+    if have_mask:
+        def k_m(q_ref, k_ref, v_ref, mask_ref, out_ref, **kw):
+            return _attn_kernel(q_ref, k_ref, v_ref, None, mask_ref,
+                                out_ref, **kw)
+        return k_m
+
+    def k_0(q_ref, k_ref, v_ref, out_ref, **kw):
+        return _attn_kernel(q_ref, k_ref, v_ref, None, None, out_ref, **kw)
+    return k_0
+
+
+def xla_attention(q, k, v, bias=None, kv_valid=None, causal=False,
+                  scale=None):
+    """Readable XLA reference for A/B tests."""
+    b, h, t, d = q.shape
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    if bias is not None:
+        s = s + bias[None].astype(jnp.float32)
+    if kv_valid is not None:
+        s = jnp.where(kv_valid[:, None, None, :], s, NEG_INF)
+    if causal:
+        i = jnp.arange(t)
+        s = jnp.where(i[None, None, :, None] >= i[None, None, None, :], s,
+                      NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
