@@ -90,3 +90,22 @@ def test_specials_inside_words(tok):
 def test_greedy_longest_match(tok):
     # "the" exists as one token; greedy must not emit t+h+e
     assert tok.encode("the") == [tok.token_to_id["the"]]
+
+
+def test_native_and_python_encoders_agree(tok):
+    try:
+        from tortoise_tpu.native import NativeTokenizer  # noqa: F401
+
+        native_tok = Tokenizer.from_file(TOKENIZER_JSON)
+        assert native_tok._native is not None
+    except Exception:
+        import pytest
+
+        pytest.skip("native lib not built")
+    py_tok = Tokenizer(tok.token_to_id, native=False)
+    for text in [
+        "this[SPACE]is[SPACE]a[SPACE]test[SPACE]message.",
+        "based...[SPACE]doctor[SPACE]freeman?",
+        "x[STOP]y", "", "a~b", "the[SPACE]the",
+    ]:
+        assert native_tok.encode(text) == py_tok.encode(text), text

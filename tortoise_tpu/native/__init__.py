@@ -115,6 +115,15 @@ def _configure(lib):
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32), ctypes.c_longlong]
 
 
+    lib.tok_create.restype = ctypes.c_void_p
+    lib.tok_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+    lib.tok_free.argtypes = [ctypes.c_void_p]
+    lib.tok_encode_word.restype = ctypes.c_int
+    lib.tok_encode_word.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+
 def available() -> bool:
     return _get_lib() is not None
 
@@ -211,3 +220,40 @@ class StdRng:
         self._lib.stdrng_normal_double(
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n)
         return out
+
+
+class NativeTokenizer:
+    """Greedy longest-substring encoder backed by the C++ component.
+
+    Word splitting stays in Python (one regex for both planes); per-word
+    encoding runs native. Falls back to raising if the lib is unbuilt —
+    callers use tortoise_tpu.text.Tokenizer as the pure-Python plane.
+    """
+
+    def __init__(self, vocab: dict):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        parts = []
+        import struct as _struct
+
+        for token, idx in vocab.items():
+            tb = token.encode("utf-8")
+            parts.append(_struct.pack("<II", idx, len(tb)) + tb)
+        blob = b"".join(parts)
+        self._lib = lib
+        self._handle = lib.tok_create(blob, len(blob))
+        self._buf = (ctypes.c_int * 4096)()
+
+    def encode_word(self, word: str):
+        n = self._lib.tok_encode_word(
+            self._handle, word.encode("utf-8"), self._buf, 4096
+        )
+        return list(self._buf[:n])
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.tok_free(self._handle)
+        except Exception:
+            pass

@@ -71,11 +71,20 @@ class Tokenizer:
         self,
         vocab: Dict[str, int],
         merges: Optional[Sequence[Tuple[str, str]]] = None,
+        native: bool = True,
     ):
         self.token_to_id = vocab
         self.id_to_token = {i: t for t, i in vocab.items()}
         self._max_token_len = max(len(t) for t in vocab)
         self.merge_rank = {m: r for r, m in enumerate(merges or [])}
+        self._native = None
+        if native:
+            try:
+                from tortoise_tpu.native import NativeTokenizer
+
+                self._native = NativeTokenizer(vocab)
+            except Exception:
+                self._native = None
 
     @classmethod
     def from_file(cls, path: str, reference_quirks: bool = False) -> "Tokenizer":
@@ -123,6 +132,10 @@ class Tokenizer:
 
     def encode(self, text: str, method: str = "greedy") -> List[int]:
         ids: List[int] = []
+        if method == "greedy" and self._native is not None:
+            for word in self.split_words(text):
+                ids.extend(self._native.encode_word(word))
+            return ids
         enc = (
             self._encode_word_greedy
             if method == "greedy"
