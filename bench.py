@@ -42,12 +42,16 @@ def main() -> int:
         compute_dtype = jnp.bfloat16
 
     models = TortoiseModels.random(seed=0, tiny=small)
-    if small:
-        import dataclasses
+    import dataclasses
 
+    if small:
         models.ar_cfg = dataclasses.replace(models.ar_cfg,
                                             max_decode_steps=8,
                                             pad_mel_length=8)
+    if jax.default_backend() == "tpu" and os.environ.get(
+            "BENCH_NO_FLASH") != "1":
+        models.diffusion_cfg = dataclasses.replace(models.diffusion_cfg,
+                                                   use_flash=True)
     rng = np.random.default_rng(0)
     tokens = [255] + rng.integers(
         3, models.ar_cfg.n_text_vocab, size=24

@@ -71,7 +71,15 @@ def main(argv=None) -> int:
         models = TortoiseModels.from_ggml_dir(args.models, args.cache_dir)
 
     if args.voice is not None:
+        import os
+
         voice = args.voice
+        if not os.path.exists(voice):
+            # bare voice name: resolve against the models dir (the shipped
+            # voices are models/{mol,mouse,notactuallymyself,random}.bin)
+            candidate = os.path.join(args.models, voice + ".bin")
+            if os.path.exists(candidate):
+                voice = candidate
     else:
         voice = np.zeros((models.ar_cfg.d_model,), np.float32)
         print("warning: no --voice given; using a zero conditioning latent",

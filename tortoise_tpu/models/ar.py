@@ -213,29 +213,39 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
         jnp.full((b, 1), 1, jnp.int32) * (step + 2),
     )
     n = cache.length
+    idx = jnp.arange(cfg.cache_len)
+    ok = cache.valid | (idx[None, :] == n)
+    bias = jnp.where(ok, 0.0, NEG_INF)[:, None, None, :]
 
-    def layer(carry, xs):
-        x, = carry
-        block, k_l, v_l = xs
+    # fori_loop over layers with in-place dynamic updates on the full
+    # carried cache: a scan emitting per-layer caches as ys re-materializes
+    # the whole (L, B, H, C, Dh) cache every token (~0.5 GB of copies per
+    # step at production size, which dominated decode latency)
+    def layer(i, carry):
+        x, k_cache, v_cache = carry
+        block = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(
+                jnp.asarray(a), i, 0, keepdims=False),
+            params["blocks"],
+        )
         y = layer_norm(x, block["ln1_w"], block["ln1_b"], cfg.ln_eps)
         q, k_new, v_new = _qkv(block, y, cfg, compute_dtype, qkv_f16)
-        k_l = jax.lax.dynamic_update_slice(k_l, k_new.astype(k_l.dtype),
-                                           (0, 0, n, 0))
-        v_l = jax.lax.dynamic_update_slice(v_l, v_new.astype(v_l.dtype),
-                                           (0, 0, n, 0))
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_new[None].astype(k_cache.dtype), (i, 0, 0, n, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_new[None].astype(v_cache.dtype), (i, 0, 0, n, 0))
+        k_l = jax.lax.dynamic_index_in_dim(k_cache, i, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(v_cache, i, 0, keepdims=False)
         scores = pdot(q, k_l.swapaxes(-1, -2), compute_dtype) / jnp.sqrt(
             jnp.float32(cfg.d_head)
         )
-        idx = jnp.arange(cfg.cache_len)
-        ok = cache.valid | (idx[None, :] == n)
-        bias = jnp.where(ok, 0.0, NEG_INF)[:, None, None, :]
         probs = jax.nn.softmax((scores + bias).astype(jnp.float32), axis=-1)
         ctx = pdot(probs.astype(q.dtype), v_l, compute_dtype)
         x = _attn_out(block, ctx, x, cfg, compute_dtype)
-        return (x,), (k_l, v_l)
+        return x, k_cache, v_cache
 
-    (h,), (k, v) = jax.lax.scan(layer, (x,), (params["blocks"], cache.k,
-                                              cache.v))
+    h, k, v = jax.lax.fori_loop(0, cfg.n_layer, layer,
+                                (x, cache.k, cache.v))
     logits = _head(params, h[:, -1:, :], cfg, compute_dtype)[:, 0, :]
     valid = cache.valid.at[:, n].set(True)
     return logits, KVCache(k, v, valid, n + 1)

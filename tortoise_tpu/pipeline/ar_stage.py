@@ -36,6 +36,22 @@ from tortoise_tpu.config import ARConfig
 from tortoise_tpu.models import ar
 from tortoise_tpu.ops import sampling as S
 
+_MATMUL_WEIGHTS = ("attn_w", "proj_w", "fc_w", "fc_proj_w")
+
+
+def cast_matmul_weights(params, dtype):
+    """Store the big matmul weights in the compute dtype so the decode
+    loop streams half the bytes from HBM (decode is weight-bandwidth
+    bound); norms/biases/embeddings stay f32."""
+    if dtype is None:
+        return params
+    blocks = dict(params["blocks"])
+    for k in _MATMUL_WEIGHTS:
+        blocks[k] = jnp.asarray(blocks[k], dtype)
+    out = dict(params, blocks=blocks)
+    out["lm_w"] = jnp.asarray(params["lm_w"], dtype)
+    return out
+
 TEXT_BUCKETS = (32, 64, 128, 192, 256, 320, 404)
 
 
@@ -205,6 +221,7 @@ def autoregressive(
     text_valid[:, :t] = True
 
     voice = jnp.asarray(voice, jnp.float32)
+    params = cast_matmul_weights(params, compute_dtype)
     logits, cache = _prefill_jit(params, cfg, jnp.asarray(text_ids),
                                  jnp.asarray(text_valid), voice,
                                  compute_dtype, qkv_f16)
