@@ -34,6 +34,9 @@ def main() -> int:
     import jax
 
     from tortoise_tpu.pipeline.synthesize import TortoiseModels, synthesize
+    from tortoise_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
 
     compute_dtype = None
     if use_bf16:

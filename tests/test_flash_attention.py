@@ -79,3 +79,21 @@ def test_bf16_inputs():
     want = xla_attention(q, k, v)
     assert got.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.02)
+
+
+def test_table_bias_mode_matches_materialized():
+    from tortoise_tpu.ops.relpos import relative_position_buckets, relpos_bias
+
+    b, h, t, d = 1, 4, 48, 16
+    q, k, v = (rand((b, h, t, d), s) for s in (1, 2, 3))
+    table = rand((32, h), 9, 0.5)
+    buckets = jnp.asarray(relative_position_buckets(t))
+    bias = relpos_bias(table, buckets)  # (H, T, T), x8 scale
+    valid = np.ones((b, t), bool)
+    valid[0, 41:] = False
+    got = flash_attention(q, k, v, bias_buckets=buckets, bias_table=table,
+                          kv_valid=jnp.asarray(valid), bq=16, bk=16,
+                          interpret=True)
+    want = xla_attention(q, k, v, bias, jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(got)[:, :, :41],
+                               np.asarray(want)[:, :, :41], atol=2e-5)

@@ -97,3 +97,26 @@ def test_sample_distribution_roughly_matches():
     s = np.asarray(S.sample_from_probs(jax.random.PRNGKey(1), probs))
     freq = np.bincount(s, minlength=3) / len(s)
     np.testing.assert_allclose(freq, [0.5, 0.3, 0.2], atol=0.05)
+
+
+def test_topk_domain_pipeline_matches_full():
+    rng = np.random.default_rng(5)
+    logits = rng.normal(0, 3, (3, 500)).astype(np.float32)
+    prev = rng.integers(0, 500, (3, 2))
+    full = np.asarray(S.process_logits(jnp.asarray(logits),
+                                       jnp.asarray(prev)))
+    probs, ids = S.process_logits_topk(jnp.asarray(logits),
+                                       jnp.asarray(prev))
+    probs, ids = np.asarray(probs), np.asarray(ids)
+    compact = np.zeros_like(full)
+    for b in range(3):
+        compact[b, ids[b]] = probs[b]
+    np.testing.assert_allclose(compact, full, atol=1e-6)
+
+
+def test_sample_from_topk_maps_ids():
+    probs = jnp.asarray([[0.0, 1.0, 0.0]])
+    ids = jnp.asarray([[7, 42, 3]])
+    for i in range(4):
+        s = S.sample_from_topk(jax.random.PRNGKey(i), probs, ids)
+        assert int(s[0]) == 42

@@ -55,6 +55,9 @@ def main(argv=None) -> int:
     import numpy as np
 
     from tortoise_tpu.pipeline.synthesize import TortoiseModels, synthesize
+    from tortoise_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if args.random_weights:
         models = TortoiseModels.random(args.seed, tiny=args.tiny)

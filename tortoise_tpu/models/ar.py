@@ -55,17 +55,20 @@ NEG_INF = -1e30
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, B, H, C, Dh)
-    v: jax.Array  # (L, B, H, C, Dh)
+    # per-layer tuples of (B, H, C, Dh): separate buffers keep the decode
+    # step's in-place dynamic updates trivially aliasable (a single stacked
+    # (L, B, H, C, Dh) array was measured re-copying itself per layer)
+    k: tuple
+    v: tuple
     valid: jax.Array  # (B, C) bool — which slots hold real keys
     length: jax.Array  # () int32 — next write offset
 
 
 def init_cache(cfg: ARConfig, batch: int, dtype=jnp.float32) -> KVCache:
-    shape = (cfg.n_layer, batch, cfg.n_head, cfg.cache_len, cfg.d_head)
+    shape = (batch, cfg.n_head, cfg.cache_len, cfg.d_head)
     return KVCache(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
+        k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)),
+        v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)),
         valid=jnp.zeros((batch, cfg.cache_len), bool),
         length=jnp.zeros((), jnp.int32),
     )
@@ -191,10 +194,11 @@ def prefill(params, cfg: ARConfig, text_ids: jax.Array,
 
     cache = init_cache(cfg, b, jnp.float32)
     s = x.shape[1]
-    k = jax.lax.dynamic_update_slice(cache.k, ks.astype(cache.k.dtype),
-                                     (0, 0, 0, 0, 0))
-    v = jax.lax.dynamic_update_slice(cache.v, vs.astype(cache.v.dtype),
-                                     (0, 0, 0, 0, 0))
+    pad = [(0, 0), (0, 0), (0, cfg.cache_len - s), (0, 0)]
+    k = tuple(jnp.pad(ks[i].astype(jnp.float32), pad)
+              for i in range(cfg.n_layer))
+    v = tuple(jnp.pad(vs[i].astype(jnp.float32), pad)
+              for i in range(cfg.n_layer))
     valid = jax.lax.dynamic_update_slice(cache.valid, seq_valid, (0, 0))
     return logits, KVCache(k, v, valid, jnp.int32(s))
 
@@ -217,38 +221,29 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
     ok = cache.valid | (idx[None, :] == n)
     bias = jnp.where(ok, 0.0, NEG_INF)[:, None, None, :]
 
-    # fori_loop over layers with in-place dynamic updates on the full
-    # carried cache: a scan emitting per-layer caches as ys re-materializes
-    # the whole (L, B, H, C, Dh) cache every token (~0.5 GB of copies per
-    # step at production size, which dominated decode latency)
-    def layer(i, carry):
-        x, k_cache, v_cache = carry
-        block = jax.tree.map(
-            lambda a: jax.lax.dynamic_index_in_dim(
-                jnp.asarray(a), i, 0, keepdims=False),
-            params["blocks"],
-        )
-        y = layer_norm(x, block["ln1_w"], block["ln1_b"], cfg.ln_eps)
+    # Python-unrolled layer loop over per-layer cache buffers: each
+    # dynamic_update_slice touches one small (B, H, C, Dh) array with a
+    # static layer binding, which XLA aliases in place (stacked caches and
+    # loop-carried caches were both measured re-copying themselves).
+    k_cache = list(cache.k)
+    v_cache = list(cache.v)
+    h = x
+    for i in range(cfg.n_layer):
+        block = jax.tree.map(lambda a: a[i], params["blocks"])
+        y = layer_norm(h, block["ln1_w"], block["ln1_b"], cfg.ln_eps)
         q, k_new, v_new = _qkv(block, y, cfg, compute_dtype, qkv_f16)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k_new[None].astype(k_cache.dtype), (i, 0, 0, n, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v_new[None].astype(v_cache.dtype), (i, 0, 0, n, 0))
-        k_l = jax.lax.dynamic_index_in_dim(k_cache, i, 0, keepdims=False)
-        v_l = jax.lax.dynamic_index_in_dim(v_cache, i, 0, keepdims=False)
-        scores = pdot(q, k_l.swapaxes(-1, -2), compute_dtype) / jnp.sqrt(
-            jnp.float32(cfg.d_head)
-        )
+        k_cache[i] = jax.lax.dynamic_update_slice(
+            k_cache[i], k_new.astype(k_cache[i].dtype), (0, 0, n, 0))
+        v_cache[i] = jax.lax.dynamic_update_slice(
+            v_cache[i], v_new.astype(v_cache[i].dtype), (0, 0, n, 0))
+        scores = pdot(q, k_cache[i].swapaxes(-1, -2), compute_dtype) \
+            / jnp.sqrt(jnp.float32(cfg.d_head))
         probs = jax.nn.softmax((scores + bias).astype(jnp.float32), axis=-1)
-        ctx = pdot(probs.astype(q.dtype), v_l, compute_dtype)
-        x = _attn_out(block, ctx, x, cfg, compute_dtype)
-        return x, k_cache, v_cache
-
-    h, k, v = jax.lax.fori_loop(0, cfg.n_layer, layer,
-                                (x, cache.k, cache.v))
+        ctx = pdot(probs.astype(q.dtype), v_cache[i], compute_dtype)
+        h = _attn_out(block, ctx, h, cfg, compute_dtype)
     logits = _head(params, h[:, -1:, :], cfg, compute_dtype)[:, 0, :]
     valid = cache.valid.at[:, n].set(True)
-    return logits, KVCache(k, v, valid, n + 1)
+    return logits, KVCache(tuple(k_cache), tuple(v_cache), valid, n + 1)
 
 
 def latent_forward(params, cfg: ARConfig, text_ids: jax.Array,

@@ -67,7 +67,6 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
     q = qkv[:, :, 0].swapaxes(-1, -2)  # (B, H, T, Dh)
     k = qkv[:, :, 1]                   # (B, H, Dh, T)
     v = qkv[:, :, 2].swapaxes(-1, -2)  # (B, H, T, Dh)
-    bias = relpos_bias(rel_w, buckets)
     if cfg.use_flash:
         from tortoise_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -75,12 +74,13 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
         if mask is not None:
             kv_valid = jnp.broadcast_to(mask, (b, t))
         ctx = flash_attention(
-            q, k.swapaxes(-1, -2), v, bias, kv_valid,
+            q, k.swapaxes(-1, -2), v, None, kv_valid,
+            bias_buckets=buckets, bias_table=rel_w,
             interpret=jax.default_backend() != "tpu",
         )
     else:
         scores = pdot(q, k, compute_dtype) / jnp.sqrt(jnp.float32(dh))
-        scores = scores + bias[None]
+        scores = scores + relpos_bias(rel_w, buckets)[None]
         if mask is not None:
             scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)

@@ -38,20 +38,34 @@ NEG_INF = -1e30
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
                  bq: int, bk: int, t_kv: int, causal: bool, scale: float,
-                 have_bias: bool, have_mask: bool):
+                 have_bias: bool, have_mask: bool, table_bias: bool = False,
+                 n_buckets: int = 32, bias_scale: float = 8.0):
     qi = pl.program_id(2)
+    hi = pl.program_id(1)
     q = q_ref[0, 0].astype(jnp.float32) * scale  # (BQ, D)
     n_kv = t_kv // bk
+    if have_bias and table_bias:
+        buckets_ref, table_ref = bias_ref
+        # this head's per-bucket bias values (NB, H) -> (NB,)
+        col = table_ref[:, hi] * bias_scale
 
     def body(j, carry):
         m, l, acc = carry
         k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
         v = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
-        if have_bias:
+        if have_bias and table_bias:
+            # reconstruct the rel-pos bias tile from bucket ids: cheaper
+            # than materializing and streaming an (H, T, T) bias array
+            bkt = buckets_ref[0, :, pl.ds(j * bk, bk)]
+            tile = jnp.zeros((bq, bk), jnp.float32)
+            for bb in range(n_buckets):
+                tile = tile + jnp.where(bkt == bb, col[bb], 0.0)
+            s = s + tile
+        elif have_bias:
             s = s + bias_ref[0, :, pl.ds(j * bk, bk)]
         if have_mask:
-            valid = mask_ref[0, pl.ds(j * bk, bk)]
+            valid = mask_ref[0, 0, pl.ds(j * bk, bk)]
             s = jnp.where(valid[None, :], s, NEG_INF)
         if causal:
             qpos = qi * bq + jax.lax.broadcasted_iota(
@@ -93,7 +107,8 @@ def _pad_to(x, axis, mult):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "bq", "bk", "interpret"),
+    static_argnames=("causal", "scale", "bq", "bk", "interpret",
+                     "bias_scale"),
 )
 def flash_attention(
     q: jax.Array,
@@ -106,9 +121,16 @@ def flash_attention(
     bq: int = 128,
     bk: int = 128,
     interpret: bool = False,
+    bias_buckets: Optional[jax.Array] = None,
+    bias_table: Optional[jax.Array] = None,
+    bias_scale: float = 8.0,
 ) -> jax.Array:
-    """q,k,v: (B, H, T, D); bias: (H, T, T) additive (f32); kv_valid:
-    (B, T) bool. Returns f32 (B, H, T, D)."""
+    """q,k,v: (B, H, T, D); kv_valid: (B, T) bool. Bias either as a
+    materialized (H, T, T) `bias`, or compactly as `bias_buckets` (T, T)
+    int32 + `bias_table` (NB, H) with `bias_scale` — the kernel
+    reconstructs bias tiles on the fly (streaming a materialized bias at
+    production sizes costs more HBM traffic than the attention itself).
+    Returns f32 (B, H, T, D)."""
     b, h, t, d = q.shape
     if scale is None:
         scale = 1.0 / (d ** 0.5)
@@ -124,9 +146,15 @@ def flash_attention(
         kv_valid = jnp.ones((b, t), bool)
     have_mask = kv_valid is not None
     if have_mask:
-        maskp = _pad_to(kv_valid, 1, bk)  # pads with False
-    have_bias = bias is not None
-    if have_bias:
+        # (B, 1, T) so the trailing two block dims satisfy TPU tiling
+        maskp = _pad_to(kv_valid, 1, bk)[:, None, :]  # pads with False
+    table_bias = bias_buckets is not None
+    have_bias = bias is not None or table_bias
+    if table_bias:
+        bucketsp = _pad_to(_pad_to(bias_buckets.astype(jnp.int32), 0, bq),
+                           1, bk)[None]  # (1, Tq, Tkv)
+        table = bias_table.astype(jnp.float32)
+    elif have_bias:
         biasp = _pad_to(_pad_to(bias.astype(jnp.float32), 1, bq), 2, bk)
 
     grid = (b, h, tq // bq)
@@ -136,19 +164,28 @@ def flash_attention(
         pl.BlockSpec((1, 1, tkv, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
     ]
     args = [qp, kp, vp]
-    if have_bias:
+    if table_bias:
+        in_specs.append(
+            pl.BlockSpec((1, bq, tkv), lambda bi, hi, qi: (0, qi, 0)))
+        args.append(bucketsp)
+        in_specs.append(
+            pl.BlockSpec(table.shape, lambda bi, hi, qi: (0, 0)))
+        args.append(table)
+    elif have_bias:
         in_specs.append(
             pl.BlockSpec((1, bq, tkv), lambda bi, hi, qi: (hi, qi, 0)))
         args.append(biasp)
     if have_mask:
-        in_specs.append(pl.BlockSpec((1, tkv), lambda bi, hi, qi: (bi, 0)))
+        in_specs.append(
+            pl.BlockSpec((1, 1, tkv), lambda bi, hi, qi: (bi, 0, 0)))
         args.append(maskp)
 
+    nb = int(bias_table.shape[0]) if table_bias else 32
     kernel = functools.partial(
-        _attn_kernel if have_bias and have_mask else
-        _kernel_variant(have_bias, have_mask),
+        _kernel_variant(have_bias, have_mask, table_bias),
         bq=bq, bk=bk, t_kv=tkv, causal=causal, scale=scale,
-        have_bias=have_bias, have_mask=have_mask,
+        have_bias=have_bias, have_mask=have_mask, table_bias=table_bias,
+        n_buckets=nb, bias_scale=bias_scale,
     )
 
     out = pl.pallas_call(
@@ -163,8 +200,21 @@ def flash_attention(
     return out[:, :, :t, :]
 
 
-def _kernel_variant(have_bias: bool, have_mask: bool):
+def _kernel_variant(have_bias: bool, have_mask: bool, table_bias: bool):
     """Adapt the kernel signature to the optional operands."""
+    if table_bias and have_mask:
+        def k_tm(q_ref, k_ref, v_ref, buckets_ref, table_ref, mask_ref,
+                 out_ref, **kw):
+            return _attn_kernel(q_ref, k_ref, v_ref,
+                                (buckets_ref, table_ref), mask_ref,
+                                out_ref, **kw)
+        return k_tm
+    if table_bias:
+        def k_t(q_ref, k_ref, v_ref, buckets_ref, table_ref, out_ref, **kw):
+            return _attn_kernel(q_ref, k_ref, v_ref,
+                                (buckets_ref, table_ref), None, out_ref,
+                                **kw)
+        return k_t
     if have_bias and have_mask:
         return _attn_kernel
     if have_bias:

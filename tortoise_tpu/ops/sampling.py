@@ -154,3 +154,47 @@ def host_process_logits_and_sample(
         probs = _host_softmax_unshifted(row)
         samples[b] = rng.multinomial(probs)
     return samples
+
+
+# --------------------------------------------------------------------------
+# fused top-k-domain pipeline (fast in-loop path)
+# --------------------------------------------------------------------------
+
+def process_logits_topk(logits: jax.Array, prev_ids: jax.Array,
+                        temperature: float = 0.8, top_k: int = 50,
+                        top_p_drop: float = 0.2,
+                        repetition_penalty: float = 2.0):
+    """Equivalent of process_logits() computed in the k-candidate domain:
+    after the top-k filter only k values can carry probability mass, so the
+    nucleus rule reduces to suffix sums over the descending top-k values —
+    no O(V log V) argsort in the decode loop. Returns (probs (B, k),
+    ids (B, k)).
+
+    (Exactness caveat vs the host plane: ties exactly at the kth value keep
+    every tied token there but only k survive here; float-identical logits
+    from a real model are vanishingly rare.)"""
+    x = apply_repetition_penalty(logits, prev_ids, repetition_penalty)
+    x = x / temperature
+    top_k = min(top_k, logits.shape[-1])
+    vals, ids = jax.lax.top_k(x, top_k)  # descending
+    p = jax.nn.softmax(vals, axis=-1)
+    # ascending-inclusive cumsum of a token == suffix sum in descending
+    # order; the reference drops tokens with that mass <= p_drop, never
+    # dropping the overall largest (main.cpp:4685-4692)
+    suffix = jnp.cumsum(p[..., ::-1], axis=-1)[..., ::-1]
+    drop = suffix <= top_p_drop
+    drop = drop.at[..., 0].set(False)
+    vals = jnp.where(drop, F32_LOWEST, vals)
+    return jax.nn.softmax(vals, axis=-1), ids
+
+
+def sample_from_topk(key: jax.Array, probs: jax.Array, ids: jax.Array,
+                     ) -> jax.Array:
+    """Inverse-CDF draw over the top-k candidates, mapped back to vocab
+    ids."""
+    cum = jnp.cumsum(probs, axis=-1)
+    u = jax.random.uniform(key, (probs.shape[0], 1), dtype=probs.dtype)
+    pos = jnp.minimum(jnp.sum(cum < u, axis=-1), probs.shape[-1] - 1)
+    return jnp.take_along_axis(ids, pos[:, None], axis=-1)[:, 0].astype(
+        jnp.int32
+    )

@@ -133,8 +133,8 @@ def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
     stop = cfg.stop_mel_token
 
     def sample(logits, penalty_ids, key):
-        probs = S.process_logits(logits, penalty_ids)
-        return S.sample_from_probs(key, probs)
+        probs, ids = S.process_logits_topk(logits, penalty_ids)
+        return S.sample_from_topk(key, probs, ids)
 
     key, k0 = jax.random.split(key)
     tok0 = sample(first_logits, first_penalty_ids, k0)
