@@ -46,8 +46,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
     n_kv = t_kv // bk
     if have_bias and table_bias:
         buckets_ref, table_ref = bias_ref
-        # this head's per-bucket bias values (NB, H) -> (NB,)
-        col = table_ref[:, hi] * bias_scale
+        # this head's per-bucket bias row, selected by the BlockSpec
+        # index_map (Mosaic cannot dynamically index the lane dim)
+        col = table_ref[0, :] * bias_scale
 
     def body(j, carry):
         m, l, acc = carry
@@ -153,7 +154,7 @@ def flash_attention(
     if table_bias:
         bucketsp = _pad_to(_pad_to(bias_buckets.astype(jnp.int32), 0, bq),
                            1, bk)[None]  # (1, Tq, Tkv)
-        table = bias_table.astype(jnp.float32)
+        table = bias_table.astype(jnp.float32).T  # (H, NB)
     elif have_bias:
         biasp = _pad_to(_pad_to(bias.astype(jnp.float32), 1, bq), 2, bk)
 
@@ -169,7 +170,8 @@ def flash_attention(
             pl.BlockSpec((1, bq, tkv), lambda bi, hi, qi: (0, qi, 0)))
         args.append(bucketsp)
         in_specs.append(
-            pl.BlockSpec(table.shape, lambda bi, hi, qi: (0, 0)))
+            pl.BlockSpec((1, table.shape[1]),
+                         lambda bi, hi, qi: (hi, 0)))
         args.append(table)
     elif have_bias:
         in_specs.append(
@@ -180,7 +182,7 @@ def flash_attention(
             pl.BlockSpec((1, 1, tkv), lambda bi, hi, qi: (bi, 0, 0)))
         args.append(maskp)
 
-    nb = int(bias_table.shape[0]) if table_bias else 32
+    nb = int(bias_table.shape[0]) if table_bias else 32  # buckets
     kernel = functools.partial(
         _kernel_variant(have_bias, have_mask, table_bias),
         bq=bq, bk=bk, t_kv=tkv, causal=causal, scale=scale,
