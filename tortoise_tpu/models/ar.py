@@ -55,20 +55,17 @@ NEG_INF = -1e30
 
 
 class KVCache(NamedTuple):
-    # per-layer tuples of (B, H, C, Dh): separate buffers keep the decode
-    # step's in-place dynamic updates trivially aliasable (a single stacked
-    # (L, B, H, C, Dh) array was measured re-copying itself per layer)
-    k: tuple
-    v: tuple
+    k: jax.Array  # (L, B, H, C, Dh)
+    v: jax.Array  # (L, B, H, C, Dh)
     valid: jax.Array  # (B, C) bool — which slots hold real keys
     length: jax.Array  # () int32 — next write offset
 
 
 def init_cache(cfg: ARConfig, batch: int, dtype=jnp.float32) -> KVCache:
-    shape = (batch, cfg.n_head, cfg.cache_len, cfg.d_head)
+    shape = (cfg.n_layer, batch, cfg.n_head, cfg.cache_len, cfg.d_head)
     return KVCache(
-        k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)),
-        v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)),
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
         valid=jnp.zeros((batch, cfg.cache_len), bool),
         length=jnp.zeros((), jnp.int32),
     )
@@ -192,14 +189,12 @@ def prefill(params, cfg: ARConfig, text_ids: jax.Array,
     h, (ks, vs) = transformer(params, x, bias, cfg, compute_dtype, qkv_f16)
     logits = _head(params, h[:, -1:, :], cfg, compute_dtype)[:, 0, :]
 
-    cache = init_cache(cfg, b, jnp.float32)
     s = x.shape[1]
-    pad = [(0, 0), (0, 0), (0, cfg.cache_len - s), (0, 0)]
-    k = tuple(jnp.pad(ks[i].astype(jnp.float32), pad)
-              for i in range(cfg.n_layer))
-    v = tuple(jnp.pad(vs[i].astype(jnp.float32), pad)
-              for i in range(cfg.n_layer))
-    valid = jax.lax.dynamic_update_slice(cache.valid, seq_valid, (0, 0))
+    cache_dtype = compute_dtype or jnp.float32
+    pad = [(0, 0)] * 3 + [(0, cfg.cache_len - s), (0, 0)]
+    k = jnp.pad(ks.astype(cache_dtype), pad)
+    v = jnp.pad(vs.astype(cache_dtype), pad)
+    valid = jnp.pad(seq_valid, [(0, 0), (0, cfg.cache_len - s)])
     return logits, KVCache(k, v, valid, jnp.int32(s))
 
 
@@ -217,33 +212,44 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
         jnp.full((b, 1), 1, jnp.int32) * (step + 2),
     )
     n = cache.length
-    idx = jnp.arange(cfg.cache_len)
-    ok = cache.valid | (idx[None, :] == n)
-    bias = jnp.where(ok, 0.0, NEG_INF)[:, None, None, :]
+    bias = jnp.where(cache.valid, 0.0, NEG_INF)[:, None, None, :]
 
-    # Python-unrolled layer loop over per-layer cache buffers: each
-    # dynamic_update_slice touches one small (B, H, C, Dh) array with a
-    # static layer binding, which XLA aliases in place (stacked caches and
-    # loop-carried caches were both measured re-copying themselves).
-    k_cache = list(cache.k)
-    v_cache = list(cache.v)
-    h = x
-    for i in range(cfg.n_layer):
-        block = jax.tree.map(lambda a: a[i], params["blocks"])
+    # Layer scan with a READ-ONLY cache: the current token attends over the
+    # cached keys plus its own fresh k/v handled as an appended score
+    # column, the per-layer new k/v rows come out as scan ys, and ONE
+    # dynamic_update_slice writes the whole step's (L, B, H, 1, Dh) slab
+    # afterwards. This keeps the compiled module small (the remote TPU
+    # compiler choked on a 30x-unrolled body) while avoiding the
+    # full-cache re-materialization that made scan-carried caches slow.
+    scale = jnp.sqrt(jnp.float32(cfg.d_head))
+    # slot n holds stale/zero data; exclude it — the fresh column stands in
+    self_col = jnp.ones((b, 1, 1, 1), jnp.float32)
+
+    def layer(h, xs):
+        block, k_l, v_l = xs
         y = layer_norm(h, block["ln1_w"], block["ln1_b"], cfg.ln_eps)
         q, k_new, v_new = _qkv(block, y, cfg, compute_dtype, qkv_f16)
-        k_cache[i] = jax.lax.dynamic_update_slice(
-            k_cache[i], k_new.astype(k_cache[i].dtype), (0, 0, n, 0))
-        v_cache[i] = jax.lax.dynamic_update_slice(
-            v_cache[i], v_new.astype(v_cache[i].dtype), (0, 0, n, 0))
-        scores = pdot(q, k_cache[i].swapaxes(-1, -2), compute_dtype) \
-            / jnp.sqrt(jnp.float32(cfg.d_head))
-        probs = jax.nn.softmax((scores + bias).astype(jnp.float32), axis=-1)
-        ctx = pdot(probs.astype(q.dtype), v_cache[i], compute_dtype)
+        scores = pdot(q, k_l.swapaxes(-1, -2), compute_dtype) / scale
+        self_score = jnp.sum(q * k_new, axis=-1, keepdims=True)[
+            ..., None, :, 0] / scale  # (B, H, 1, 1)
+        scores = jnp.concatenate(
+            [scores + bias, self_score.astype(scores.dtype)], axis=-1)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        p_cache, p_self = probs[..., :-1], probs[..., -1:]
+        ctx = pdot(p_cache.astype(q.dtype), v_l, compute_dtype) \
+            + p_self.astype(jnp.float32) * v_new.astype(jnp.float32)
         h = _attn_out(block, ctx, h, cfg, compute_dtype)
+        return h, (k_new, v_new)
+
+    h, (k_rows, v_rows) = jax.lax.scan(
+        layer, x, (params["blocks"], cache.k, cache.v))
+    k = jax.lax.dynamic_update_slice(
+        cache.k, k_rows.astype(cache.k.dtype), (0, 0, 0, n, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, v_rows.astype(cache.v.dtype), (0, 0, 0, n, 0))
     logits = _head(params, h[:, -1:, :], cfg, compute_dtype)[:, 0, :]
     valid = cache.valid.at[:, n].set(True)
-    return logits, KVCache(tuple(k_cache), tuple(v_cache), valid, n + 1)
+    return logits, KVCache(k, v, valid, n + 1)
 
 
 def latent_forward(params, cfg: ARConfig, text_ids: jax.Array,

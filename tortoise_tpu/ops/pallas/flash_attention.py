@@ -48,7 +48,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
         buckets_ref, table_ref = bias_ref
         # this head's per-bucket bias row, selected by the BlockSpec
         # index_map (Mosaic cannot dynamically index the lane dim)
-        col = table_ref[0, :] * bias_scale
+        col = table_ref[0, 0, :] * bias_scale
 
     def body(j, carry):
         m, l, acc = carry
@@ -154,7 +154,8 @@ def flash_attention(
     if table_bias:
         bucketsp = _pad_to(_pad_to(bias_buckets.astype(jnp.int32), 0, bq),
                            1, bk)[None]  # (1, Tq, Tkv)
-        table = bias_table.astype(jnp.float32).T  # (H, NB)
+        # (H, 1, NB): trailing block dims (1, NB) satisfy TPU tiling
+        table = bias_table.astype(jnp.float32).T[:, None, :]
     elif have_bias:
         biasp = _pad_to(_pad_to(bias.astype(jnp.float32), 1, bq), 2, bk)
 
@@ -170,8 +171,8 @@ def flash_attention(
             pl.BlockSpec((1, bq, tkv), lambda bi, hi, qi: (0, qi, 0)))
         args.append(bucketsp)
         in_specs.append(
-            pl.BlockSpec((1, table.shape[1]),
-                         lambda bi, hi, qi: (hi, 0)))
+            pl.BlockSpec((1, 1, table.shape[2]),
+                         lambda bi, hi, qi: (hi, 0, 0)))
         args.append(table)
     elif have_bias:
         in_specs.append(
