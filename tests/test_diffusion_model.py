@@ -247,3 +247,24 @@ def test_flash_attention_path_matches(setup):
                          jnp.asarray(base), jnp.int32(7), out_buckets)
     np.testing.assert_allclose(np.asarray(o_flash), np.asarray(o_xla),
                                atol=5e-4)
+
+
+def test_bf16_flash_denoise_runs_and_is_close(setup):
+    """bf16 activations + flash path must keep stable carry dtypes through
+    the scans and stay near the f32 result."""
+    import dataclasses
+
+    cfg, params, latents, x = setup
+    out_len = x.shape[-1]
+    out_buckets = jnp.asarray(relative_position_buckets(
+        out_len, cfg.rel_pos_buckets, cfg.rel_pos_max_distance))
+    base = np.broadcast_to(np.asarray(params["uncond"])[None, :, None],
+                           (1, cfg.d_model, out_len)).astype(np.float32)
+    o32 = dm.denoise(params, cfg, jnp.asarray(x[None]), jnp.asarray(base),
+                     jnp.int32(7), out_buckets)
+    fcfg = dataclasses.replace(cfg, use_flash=True)
+    obf = dm.denoise(params, fcfg, jnp.asarray(x[None]), jnp.asarray(base),
+                     jnp.int32(7), out_buckets,
+                     compute_dtype=jnp.bfloat16)
+    assert obf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(obf), np.asarray(o32), atol=0.1)

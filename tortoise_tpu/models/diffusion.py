@@ -88,7 +88,7 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
     merged = ctx.swapaxes(1, 2).reshape(b, t, h * dh)
     out = _linear(merged, block["attn_proj_w"], block["attn_proj_b"],
                   compute_dtype).swapaxes(1, 2)
-    return x + out
+    return x + out.astype(x.dtype)
 
 
 def _resblock(block, x, time_emb, cfg: DiffusionConfig, prefix="res_",
@@ -115,7 +115,7 @@ def _resblock(block, x, time_emb, cfg: DiffusionConfig, prefix="res_",
                padding=1, compute_dtype=compute_dtype)
     if mask is not None:
         y = jnp.where(mask[:, None, :], y, 0.0)
-    return x + y
+    return x + y.astype(x.dtype)
 
 
 def _diffusion_layer(layer, x, time_emb, buckets, cfg, mask, compute_dtype):
@@ -240,7 +240,15 @@ def denoise(params, cfg: DiffusionConfig, x, code_emb, t_orig,
         cfg.timestep_dim, cfg.timestep_max_period,
     )
     time_emb = time_mlp(params, t_emb, compute_dtype)
+    if compute_dtype is not None:
+        # carry activations in the compute dtype: the denoiser's elementwise
+        # traffic (~500 GB f32 over the 80-step loop at T~2176) halves, and
+        # diffusion is robust to bf16 activations (the model output feeds a
+        # clamped x0 prediction; the posterior math stays f32)
+        x = x.astype(compute_dtype)
+        code_emb = code_emb.astype(compute_dtype)
+        time_emb = time_emb.astype(compute_dtype)
     code = integrate_code(params, cfg, code_emb, time_emb, out_buckets, mask,
                           compute_dtype)
     return trunk(params, cfg, x, code, time_emb, out_buckets, mask,
-                 compute_dtype)
+                 compute_dtype).astype(jnp.float32)

@@ -68,10 +68,9 @@ def vocoder(
     mel_in[0, :, m:total] = MEL_PAD_VALUE
 
     if rng is None:
+        # draw on device — no host round trip for the noise buffer
         key = jax.random.PRNGKey(seed)
-        noise = np.asarray(
-            jax.random.normal(key, (1, cfg.noise_ch, pad_total))
-        )
+        noise = jax.random.normal(key, (1, cfg.noise_ch, pad_total))
     else:
         noise = np.zeros((1, cfg.noise_ch, pad_total), np.float32)
         noise[0, :, :total] = rng.normal_f32(cfg.noise_ch * total).reshape(
