@@ -87,3 +87,37 @@ def test_graft_entry_hooks():
     out = jax.jit(fn)(*args)
     assert out[0].shape[-1] == 8194
     g.dryrun_multichip(8)
+
+
+def test_sharded_diffusion_batch_matches():
+    """diffusion_batch's batch axis shards over dp; results must match the
+    single-device run."""
+    from tortoise_tpu.config import tiny_diffusion_config
+    from tortoise_tpu.io.checkpoint import random_diffusion_params
+    from tortoise_tpu.models import diffusion as dm
+    from tortoise_tpu.ops.relpos import relative_position_buckets
+
+    cfg = tiny_diffusion_config()
+    params = random_diffusion_params(cfg, seed=1)
+    rng = np.random.default_rng(0)
+    b, t = 4, 16
+    x = rng.normal(0, 1, (b, cfg.n_mel, t)).astype(np.float32)
+    code = rng.normal(0, 0.5, (b, cfg.d_model, t)).astype(np.float32)
+    buckets = jnp.asarray(relative_position_buckets(
+        t, cfg.rel_pos_buckets, cfg.rel_pos_max_distance))
+
+    ref = np.asarray(dm.denoise(params, cfg, jnp.asarray(x),
+                                jnp.asarray(code), jnp.int32(100), buckets))
+
+    mesh = make_mesh(8, shape=(4, 2))
+
+    @jax.jit
+    def fn(p, x, c):
+        return dm.denoise(p, cfg, x, c, jnp.int32(100), buckets)
+
+    with mesh:
+        sp = jax.tree.map(
+            lambda a: jax.device_put(a, replicated(mesh)), params)
+        out = fn(sp, jax.device_put(x, batch_spec(mesh, 3)),
+                 jax.device_put(code, batch_spec(mesh, 3)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)

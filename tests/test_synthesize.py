@@ -78,3 +78,29 @@ def test_cli_random_tiny(tmp_path):
     audio, rate = read_wav(out)
     assert rate == 24000 and len(audio) > 0
     assert "RTF" in proc.stdout
+
+
+def test_synthesize_batch(models):
+    from tortoise_tpu.pipeline.synthesize import synthesize_batch
+
+    rng = np.random.default_rng(2)
+    tokens_list = [
+        rng.integers(1, models.ar_cfg.n_text_vocab, 5).tolist(),
+        rng.integers(1, models.ar_cfg.n_text_vocab, 9).tolist(),
+        rng.integers(1, models.ar_cfg.n_text_vocab, 7).tolist(),
+    ]
+    voices = rng.normal(0, 0.5, (3, models.ar_cfg.d_model)).astype(np.float32)
+    results = synthesize_batch(models, tokens_list=tokens_list,
+                               voices=voices, seed=4)
+    assert len(results) == 3
+    for r in results:
+        assert r.audio.ndim == 1 and len(r.audio) > 0
+        assert np.isfinite(r.audio).all()
+        assert r.mel.shape[0] == models.diffusion_cfg.n_mel
+    # rows with different text lengths produce independent outputs
+    assert not np.array_equal(
+        results[0].audio[: min(len(results[0].audio),
+                               len(results[1].audio))],
+        results[1].audio[: min(len(results[0].audio),
+                               len(results[1].audio))],
+    )

@@ -217,11 +217,25 @@ def code_embeddings(params, cfg: DiffusionConfig, latents, lat_buckets,
         up = nearest_upscale_time(cond, out_len_pad)
     else:
         # bucketed: nearest indices computed from the true lengths
+        # (scalars or per-row (B,) for batched serving)
         lat_len = jnp.asarray(lat_len)
         out_len = jnp.asarray(out_len if out_len is not None else out_len_pad)
-        idx = (jnp.arange(out_len_pad) * lat_len) // jnp.maximum(out_len, 1)
-        idx = jnp.clip(idx, 0, cond.shape[-1] - 1)
-        up = jnp.take(cond, idx, axis=-1)
+        if lat_len.ndim == 0:
+            idx = (jnp.arange(out_len_pad) * lat_len) // jnp.maximum(
+                out_len, 1)
+            idx = jnp.clip(idx, 0, cond.shape[-1] - 1)
+            up = jnp.take(cond, idx, axis=-1)
+        else:
+            b = cond.shape[0]
+            lat_len = jnp.broadcast_to(lat_len, (b,))
+            out_len = jnp.broadcast_to(out_len, (b,))
+            idx = (jnp.arange(out_len_pad)[None, :] * lat_len[:, None]) \
+                // jnp.maximum(out_len[:, None], 1)
+            idx = jnp.clip(idx, 0, cond.shape[-1] - 1)
+            up = jnp.take_along_axis(
+                cond, jnp.broadcast_to(idx[:, None, :],
+                                       cond.shape[:-1] + (out_len_pad,)),
+                axis=-1)
     uncond = jnp.broadcast_to(
         params["uncond"][None, :, None], up.shape
     ).astype(up.dtype)
@@ -235,6 +249,10 @@ def denoise(params, cfg: DiffusionConfig, x, code_emb, t_orig,
     () or (B,) ORIGINAL timestep id. Returns (B, 200, T)."""
     from tortoise_tpu.pipeline.schedule import timestep_embedding
 
+    if mask is not None and mask.shape[0] not in (1, x.shape[0]):
+        # CFG stacks cond/uncond rows: tile the (B, T) mask to (2B, T)
+        reps = x.shape[0] // mask.shape[0]
+        mask = jnp.tile(mask, (reps, 1))
     t_emb = timestep_embedding(
         jnp.broadcast_to(jnp.asarray(t_orig), (x.shape[0],)),
         cfg.timestep_dim, cfg.timestep_max_period,

@@ -48,30 +48,38 @@ from tortoise_tpu.ops.conv import conv1d, conv_transpose1d, reflect_pad1d
 
 
 def _mask_time(x, valid_len):
-    """Zero (B, C, T) beyond the traced valid length."""
+    """Zero (B, C, T) beyond the traced valid length (scalar or (B,))."""
     if valid_len is None:
         return x
     t = x.shape[-1]
-    ok = jnp.arange(t)[None, None, :] < valid_len
+    valid_len = jnp.asarray(valid_len)
+    if valid_len.ndim == 0:
+        ok = jnp.arange(t)[None, None, :] < valid_len
+    else:
+        ok = jnp.arange(t)[None, None, :] < valid_len[:, None, None]
     return jnp.where(ok, x, 0.0)
 
 
 def reflect_extend(x, true_len, pad: int):
     """Write the right-edge reflection of a length-`true_len` signal into
     the `pad` slots following it (for bucketed buffers whose array edge is
-    not the signal edge). x: (B, C, T), true_len traced."""
+    not the signal edge). x: (B, C, T); true_len traced scalar or (B,)."""
     if true_len is None:
         return x
     t = x.shape[-1]
-    idx_out = jnp.arange(t)
+    true_len = jnp.asarray(true_len)
+    if true_len.ndim == 0:
+        true_len = jnp.broadcast_to(true_len, (x.shape[0],))
+    tl = true_len[:, None]  # (B, 1)
+    idx_out = jnp.arange(t)[None, :]
     # positions true_len + j (j in 0..pad-1) take value at true_len - 2 - j
-    j = idx_out - true_len
-    src = jnp.clip(true_len - 2 - j, 0, t - 1)
+    j = idx_out - tl
+    src = jnp.clip(tl - 2 - j, 0, t - 1)
     reflected = jnp.take_along_axis(
-        x, jnp.broadcast_to(src, x.shape[:-1] + (t,)), axis=-1
+        x, jnp.broadcast_to(src[:, None, :], x.shape[:-1] + (t,)), axis=-1
     )
     use = (j >= 0) & (j < pad)
-    return jnp.where(use[None, None, :], reflected, x)
+    return jnp.where(use[:, None, :], reflected, x)
 
 
 def kernel_predictor(stage, mel, cfg: VocoderConfig, valid_len=None,

@@ -193,6 +193,60 @@ def _sequences_from_token_matrix(tokens, lengths, cfg):
     return seqs
 
 
+def autoregressive_batch(
+    params,
+    tokens_list,
+    voices: np.ndarray,
+    cfg: ARConfig = ARConfig(),
+    seed: int = 0,
+    compute_dtype=None,
+    qkv_f16: bool = False,
+) -> Tuple[List[np.ndarray], List[List[int]]]:
+    """Batched serving path: different token sequences per row (list of id
+    lists) with per-row voices (B, d) or one shared (d,) latent. Rows are
+    padded to a common text bucket with masking; the on-device sample loop
+    runs all rows together. Returns (trimmed_latents, padded_sequences).
+
+    The first-step repetition penalty targets the prefill filler id set
+    {1, start}, which is length-independent, so mixed text lengths share
+    one penalty matrix (main.cpp:5100-5106)."""
+    tokens_list = [list(map(int, t)) for t in tokens_list]
+    b = len(tokens_list)
+    lens = [len(t) for t in tokens_list]
+    bucket = pick_bucket(max(lens))
+    text_ids = np.zeros((b, bucket), np.int32)
+    text_valid = np.zeros((b, bucket), bool)
+    for i, toks in enumerate(tokens_list):
+        text_ids[i, : len(toks)] = toks
+        text_valid[i, : len(toks)] = True
+
+    voices = np.asarray(voices, np.float32)
+    if voices.ndim == 1:
+        voices = np.broadcast_to(voices, (b, voices.shape[0]))
+    params = cast_matmul_weights(params, compute_dtype)
+    logits, cache = _prefill_jit(params, cfg, jnp.asarray(text_ids),
+                                 jnp.asarray(text_valid),
+                                 jnp.asarray(voices), compute_dtype,
+                                 qkv_f16)
+    first_ids = np.full((b, max(lens) + 2), 1, np.int32)
+    first_ids[:, -1] = cfg.start_mel_token
+
+    key = jax.random.PRNGKey(seed)
+    toks, n_steps, lengths = _generate_jit(
+        params, cfg, logits, jnp.asarray(first_ids), cache, key,
+        cfg.max_decode_steps, compute_dtype, qkv_f16,
+    )
+    sequences = _sequences_from_token_matrix(np.asarray(toks),
+                                             np.asarray(lengths), cfg)
+    padded = [apply_padding(s, cfg) for s in sequences]
+    mel_ids = jnp.asarray(np.asarray(padded, np.int32))
+    latents = _latents_jit(params, cfg, jnp.asarray(text_ids),
+                           jnp.asarray(text_valid), mel_ids,
+                           jnp.asarray(voices), compute_dtype, qkv_f16)
+    trimmed = trim_latents(np.asarray(latents), padded, cfg)
+    return trimmed, padded
+
+
 def autoregressive(
     params,
     tokens: Sequence[int],

@@ -90,18 +90,20 @@ def posterior_step(sched, cfg: DiffusionConfig, x, cond_mean, uncond_mean,
 def _diffusion_loop_jit(params, cfg, sched, code_emb2, x0_noise, out_buckets,
                         out_mask, key, variance_swap=True,
                         compute_dtype=None):
-    """Full 80-step loop on device. x0_noise: (1, 100, Tpad) initial noise;
-    returns (1, 100, Tpad)."""
+    """Full 80-step loop on device. x0_noise: (B, 100, Tpad) initial noise;
+    code_emb2: (2B, C, Tpad) = [cond rows | uncond rows]; returns
+    (B, 100, Tpad)."""
 
     def body(i, carry):
         x, key = carry
+        b = x.shape[0]
         t = cfg.n_sample_timesteps - 1 - i
         out = dmodel.denoise(
             params, cfg, jnp.concatenate([x, x], axis=0), code_emb2,
             sched["tmap"][t], out_buckets, out_mask, compute_dtype,
         )
-        cond_mean, var_frac = jnp.split(out[0:1], 2, axis=1)
-        uncond_mean = jnp.split(out[1:2], 2, axis=1)[0]
+        cond_mean, var_frac = jnp.split(out[:b], 2, axis=1)
+        uncond_mean = jnp.split(out[b:], 2, axis=1)[0]
         key, sub = jax.random.split(key)
         noise = jax.random.normal(sub, x.shape, x.dtype)
         x = posterior_step(sched, cfg, x, cond_mean, uncond_mean, var_frac,
@@ -126,6 +128,62 @@ def _denoise_eval_jit(params, cfg, code_emb2, x, t_orig, out_buckets,
     return out
 
 
+def diffusion_batch(
+    params,
+    latents_list,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    seed: int = 0,
+    variance_swap: bool = True,
+    compute_dtype=None,
+    bucketed: bool = True,
+):
+    """Batched serving path: a list of (L_i, 1024) latents -> list of
+    (100, T_i) mels, decoded together in one on-device 80-step loop with
+    per-row masked lengths. Row order is preserved; the batch dimension is
+    dp-shardable."""
+    lats = [np.asarray(l, np.float32) for l in latents_list]
+    b = len(lats)
+    lat_lens = np.asarray([l.shape[0] for l in lats], np.int32)
+    out_lens = np.asarray([mel_length_for_latents(int(n)) for n in lat_lens],
+                          np.int32)
+    lat_pad = _round_up(int(lat_lens.max()), LAT_BUCKET) if bucketed \
+        else int(lat_lens.max())
+    out_pad = _round_up(int(out_lens.max()), OUT_BUCKET) if bucketed \
+        else int(out_lens.max())
+
+    lat_in = np.zeros((b, lat_pad, lats[0].shape[1]), np.float32)
+    lat_mask = np.zeros((b, lat_pad), bool)
+    out_mask = np.zeros((b, out_pad), bool)
+    for i, l in enumerate(lats):
+        lat_in[i, : l.shape[0]] = l
+        lat_mask[i, : l.shape[0]] = True
+        out_mask[i, : out_lens[i]] = True
+
+    lat_buckets = jnp.asarray(
+        relative_position_buckets(lat_pad, cfg.rel_pos_buckets,
+                                  cfg.rel_pos_max_distance))
+    out_buckets = jnp.asarray(
+        relative_position_buckets(out_pad, cfg.rel_pos_buckets,
+                                  cfg.rel_pos_max_distance))
+    sched = _schedule_arrays(cfg)
+
+    code_emb2 = _code_emb_jit(
+        params, cfg, jnp.asarray(lat_in), lat_buckets,
+        jnp.asarray(lat_lens), jnp.asarray(out_lens), out_pad,
+        jnp.asarray(lat_mask), compute_dtype,
+    )
+
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    noise = jax.random.normal(sub, (b, cfg.n_mel, out_pad))
+    noise = jnp.where(jnp.asarray(out_mask)[:, None, :], noise, 0.0)
+    x = np.asarray(_diffusion_loop_jit(
+        params, cfg, sched, code_emb2, noise, out_buckets,
+        jnp.asarray(out_mask), key, variance_swap, compute_dtype,
+    ))
+    return [x[i, :, : out_lens[i]] for i in range(b)]
+
+
 def diffusion(
     params,
     latents: np.ndarray,
@@ -142,6 +200,10 @@ def diffusion(
     rng=ReferenceRng: host loop that consumes the mt19937 noise stream in
     the reference's exact order (initial noise, then one draw per step).
     """
+    if rng is None:
+        return diffusion_batch(params, [latents], cfg, seed, variance_swap,
+                               compute_dtype, bucketed)[0]
+
     latents = np.asarray(latents, np.float32)
     lat_len = latents.shape[0]
     out_len = mel_length_for_latents(lat_len)
@@ -167,17 +229,6 @@ def diffusion(
         params, cfg, jnp.asarray(lat_in), lat_buckets, lat_len, out_len,
         out_pad, jnp.asarray(lat_mask), compute_dtype,
     )
-
-    if rng is None:
-        key = jax.random.PRNGKey(seed)
-        key, sub = jax.random.split(key)
-        noise = jax.random.normal(sub, (1, cfg.n_mel, out_pad))
-        noise = jnp.where(jnp.asarray(out_mask)[:, None, :], noise, 0.0)
-        x = _diffusion_loop_jit(
-            params, cfg, sched, code_emb2, noise, out_buckets,
-            jnp.asarray(out_mask), key, variance_swap, compute_dtype,
-        )
-        return np.asarray(x)[0, :, :out_len]
 
     # host-parity loop: reference noise stream order (main.cpp:5638, 6014)
     x = np.zeros((1, cfg.n_mel, out_pad), np.float32)

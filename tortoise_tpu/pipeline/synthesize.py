@@ -109,6 +109,76 @@ class SynthesisResult:
         write_wav(path, self.audio, self.sample_rate)
 
 
+def synthesize_batch(
+    models: TortoiseModels,
+    messages: Optional[List[str]] = None,
+    tokens_list: Optional[List[List[int]]] = None,
+    voices=None,
+    seed: int = 0,
+    compute_dtype=None,
+    tokenizer_method: str = "greedy",
+) -> List[SynthesisResult]:
+    """Batched serving path: synthesize several utterances together. Each
+    stage runs one batched on-device computation with per-row masked
+    lengths (the batch dimension shards over the dp mesh axis under a
+    Mesh). `voices`: one (d,) latent shared by all rows, a (B, d) array,
+    or a list of paths/arrays per row."""
+    from tortoise_tpu.pipeline.ar_stage import autoregressive_batch
+    from tortoise_tpu.pipeline.diffusion_stage import diffusion_batch
+    from tortoise_tpu.pipeline.vocoder_stage import vocoder_batch
+
+    if tokens_list is None:
+        if models.tokenizer is None:
+            raise ValueError("no tokenizer available; pass tokens_list")
+        tokens_list = [
+            models.tokenizer.encode_pipeline(m, tokenizer_method)
+            for m in messages
+        ]
+    b = len(tokens_list)
+    if isinstance(voices, (list, tuple)):
+        voices = np.stack([
+            load_voice_latent(v, models.ar_cfg.d_model)
+            if isinstance(v, str) else np.asarray(v, np.float32)
+            for v in voices
+        ])
+    elif isinstance(voices, str):
+        voices = load_voice_latent(voices, models.ar_cfg.d_model)
+    if voices is None:
+        raise ValueError("voice latents are required")
+
+    timings = {}
+    t0 = time.monotonic()
+    latents, sequences = autoregressive_batch(
+        models.ar_params, tokens_list, voices, models.ar_cfg, seed=seed,
+        compute_dtype=compute_dtype,
+    )
+    timings["autoregressive_s"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    mels = diffusion_batch(models.diffusion_params, latents,
+                           models.diffusion_cfg, seed=seed + 1,
+                           compute_dtype=compute_dtype)
+    timings["diffusion_s"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    audios = vocoder_batch(models.vocoder_params, mels, models.vocoder_cfg,
+                           seed=seed + 2, compute_dtype=compute_dtype)
+    timings["vocoder_s"] = time.monotonic() - t0
+
+    return [
+        SynthesisResult(
+            audio=audios[i],
+            sample_rate=models.vocoder_cfg.sample_rate,
+            mel=mels[i],
+            sequences=[sequences[i]],
+            latents=[latents[i]],
+            tokens=list(tokens_list[i]),
+            timings=timings,
+        )
+        for i in range(b)
+    ]
+
+
 def synthesize(
     models: TortoiseModels,
     message: Optional[str] = None,

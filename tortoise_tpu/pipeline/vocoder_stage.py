@@ -44,6 +44,37 @@ def _vocoder_jit(params, cfg, mel, noise, mel_len, compute_dtype=None):
                                   compute_dtype)
 
 
+def vocoder_batch(
+    params,
+    mel_list,
+    cfg: VocoderConfig = VocoderConfig(),
+    seed: int = 0,
+    compute_dtype=None,
+    bucketed: bool = True,
+):
+    """Batched serving path: list of (n_mel, M_i) normalized mels -> list
+    of audio arrays, vocoded together with per-row masked lengths."""
+    mels = [np.asarray(m, np.float32) for m in mel_list]
+    b = len(mels)
+    totals = np.asarray([m.shape[1] + cfg.mel_pad_frames for m in mels],
+                        np.int32)
+    pad_total = _round_up(int(totals.max()), MEL_BUCKET) if bucketed \
+        else int(totals.max())
+
+    mel_in = np.zeros((b, cfg.n_mel, pad_total), np.float32)
+    for i, m in enumerate(mels):
+        mel_in[i, :, : m.shape[1]] = denormalize_tacotron_mel(m)
+        mel_in[i, :, m.shape[1] : totals[i]] = MEL_PAD_VALUE
+
+    key = jax.random.PRNGKey(seed)
+    noise = jax.random.normal(key, (b, cfg.noise_ch, pad_total))
+    audio = np.asarray(_vocoder_jit(
+        params, cfg, jnp.asarray(mel_in), noise,
+        jnp.asarray(totals), compute_dtype,
+    ))
+    return [audio[i, : totals[i] * cfg.total_upsample - 6] for i in range(b)]
+
+
 def vocoder(
     params,
     mel: np.ndarray,
