@@ -23,6 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--message", default="this is a test message.",
                    help="text to synthesize")
+    p.add_argument("--messages-file", default=None,
+                   help="file with one message per line: synthesize all of "
+                        "them as one batched computation; outputs get a "
+                        "-<i> suffix")
     p.add_argument("--voice", default=None,
                    help="path to a 1024-f32 voice latent .bin")
     p.add_argument("--output", default="output.wav", help="output WAV path")
@@ -73,9 +77,9 @@ def main(argv=None) -> int:
     else:
         models = TortoiseModels.from_ggml_dir(args.models, args.cache_dir)
 
-    if args.voice is not None:
-        import os
+    import os
 
+    if args.voice is not None:
         voice = args.voice
         if not os.path.exists(voice):
             # bare voice name: resolve against the models dir (the shipped
@@ -84,9 +88,14 @@ def main(argv=None) -> int:
             if os.path.exists(candidate):
                 voice = candidate
     else:
-        voice = np.zeros((models.ar_cfg.d_model,), np.float32)
-        print("warning: no --voice given; using a zero conditioning latent",
-              file=sys.stderr)
+        # the reference defaults to ../models/mol.bin (README.md:49)
+        default_voice = os.path.join(args.models, "mol.bin")
+        if os.path.exists(default_voice) and not args.tiny:
+            voice = default_voice
+        else:
+            voice = np.zeros((models.ar_cfg.d_model,), np.float32)
+            print("warning: no --voice given; using a zero conditioning "
+                  "latent", file=sys.stderr)
 
     tokens = None
     if models.tokenizer is None:
@@ -103,6 +112,41 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         compute_dtype = jnp.bfloat16
+
+    if args.messages_file:
+        from tortoise_tpu.pipeline.synthesize import synthesize_batch
+
+        with open(args.messages_file) as f:
+            messages = [line.strip() for line in f if line.strip()]
+        if not messages:
+            raise SystemExit(f"{args.messages_file}: no messages found")
+        tokens_list = None
+        if models.tokenizer is None:
+            # stand-in ids per line (tiny random models have a toy vocab)
+            rng = np.random.default_rng(args.seed)
+            tokens_list = [
+                rng.integers(1, models.ar_cfg.n_text_vocab,
+                             size=max(2, min(len(m), 12))).tolist()
+                for m in messages
+            ]
+            print("warning: no tokenizer.json; using stand-in tokens",
+                  file=sys.stderr)
+        results = synthesize_batch(
+            models, messages=messages, tokens_list=tokens_list,
+            voices=voice, seed=args.seed, compute_dtype=compute_dtype,
+            tokenizer_method=args.tokenizer_method,
+        )
+        root, ext = os.path.splitext(args.output)
+        for i, r in enumerate(results):
+            path = f"{root}-{i}{ext or '.wav'}"
+            r.save(path)
+            print(f"wrote {path}: {len(r.audio)} samples "
+                  f"({len(r.audio) / r.sample_rate:.2f}s)")
+        total = sum(results[0].timings.values())
+        dur = sum(len(r.audio) for r in results) / results[0].sample_rate
+        print(f"batch of {len(results)}: {total:.2f}s "
+              f"(RTF {total / max(dur, 1e-9):.3f})")
+        return 0
 
     result = synthesize(
         models,

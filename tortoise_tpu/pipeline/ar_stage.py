@@ -211,6 +211,8 @@ def autoregressive_batch(
     {1, start}, which is length-independent, so mixed text lengths share
     one penalty matrix (main.cpp:5100-5106)."""
     tokens_list = [list(map(int, t)) for t in tokens_list]
+    if not tokens_list:
+        raise ValueError("tokens_list is empty")
     b = len(tokens_list)
     lens = [len(t) for t in tokens_list]
     bucket = pick_bucket(max(lens))
