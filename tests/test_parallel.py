@@ -121,3 +121,26 @@ def test_sharded_diffusion_batch_matches():
         out = fn(sp, jax.device_put(x, batch_spec(mesh, 3)),
                  jax.device_put(code, batch_spec(mesh, 3)))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_synthesize_batch_under_mesh():
+    """The public batch API shards its batch over dp when given a mesh and
+    matches the unsharded result."""
+    from tortoise_tpu.pipeline.synthesize import TortoiseModels, \
+        synthesize_batch
+
+    models = TortoiseModels.random(seed=0, tiny=True)
+    rng = np.random.default_rng(3)
+    tokens_list = [
+        rng.integers(1, models.ar_cfg.n_text_vocab, 5 + i).tolist()
+        for i in range(4)
+    ]
+    voices = rng.normal(0, 0.5, (4, models.ar_cfg.d_model)).astype(np.float32)
+    plain = synthesize_batch(models, tokens_list=tokens_list, voices=voices,
+                             seed=7)
+    mesh = make_mesh(8, shape=(4, 2))
+    sharded = synthesize_batch(models, tokens_list=tokens_list,
+                               voices=voices, seed=7, mesh=mesh)
+    for a, b in zip(plain, sharded):
+        assert a.sequences == b.sequences
+        np.testing.assert_allclose(a.audio, b.audio, atol=1e-4)

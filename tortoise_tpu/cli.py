@@ -85,27 +85,19 @@ def main(argv=None) -> int:
             # bare voice name: resolve against the models dir (the shipped
             # voices are models/{mol,mouse,notactuallymyself,random}.bin)
             candidate = os.path.join(args.models, voice + ".bin")
-            if os.path.exists(candidate):
-                voice = candidate
+            if not os.path.exists(candidate):
+                raise SystemExit(f"voice not found: {args.voice}")
+            voice = candidate
     else:
-        # the reference defaults to ../models/mol.bin (README.md:49)
+        # the reference defaults to ../models/mol.bin (README.md:49);
+        # synthetic checkpoints have no matching latent file
         default_voice = os.path.join(args.models, "mol.bin")
-        if os.path.exists(default_voice) and not args.tiny:
+        if os.path.exists(default_voice) and not args.random_weights:
             voice = default_voice
         else:
             voice = np.zeros((models.ar_cfg.d_model,), np.float32)
             print("warning: no --voice given; using a zero conditioning "
                   "latent", file=sys.stderr)
-
-    tokens = None
-    if models.tokenizer is None:
-        # tiny random models have no meaningful vocab; make stand-in tokens
-        rng = np.random.default_rng(args.seed)
-        tokens = rng.integers(
-            1, models.ar_cfg.n_text_vocab, size=min(16, 8)
-        ).tolist()
-        print("warning: no tokenizer.json; using stand-in tokens",
-              file=sys.stderr)
 
     compute_dtype = None
     if args.bf16:
@@ -113,7 +105,14 @@ def main(argv=None) -> int:
 
         compute_dtype = jnp.bfloat16
 
+    def standin_tokens(rng, n):
+        return rng.integers(1, models.ar_cfg.n_text_vocab, size=n).tolist()
+
     if args.messages_file:
+        if args.sampler != "jax" or args.batch_size != 1:
+            raise SystemExit(
+                "--messages-file is the batched jax-sampler path; "
+                "--sampler reference and --batch-size apply to --message")
         from tortoise_tpu.pipeline.synthesize import synthesize_batch
 
         with open(args.messages_file) as f:
@@ -125,8 +124,7 @@ def main(argv=None) -> int:
             # stand-in ids per line (tiny random models have a toy vocab)
             rng = np.random.default_rng(args.seed)
             tokens_list = [
-                rng.integers(1, models.ar_cfg.n_text_vocab,
-                             size=max(2, min(len(m), 12))).tolist()
+                standin_tokens(rng, max(2, min(len(m), 12)))
                 for m in messages
             ]
             print("warning: no tokenizer.json; using stand-in tokens",
@@ -147,6 +145,13 @@ def main(argv=None) -> int:
         print(f"batch of {len(results)}: {total:.2f}s "
               f"(RTF {total / max(dur, 1e-9):.3f})")
         return 0
+
+    tokens = None
+    if models.tokenizer is None:
+        # tiny random models have no meaningful vocab; make stand-in tokens
+        tokens = standin_tokens(np.random.default_rng(args.seed), 8)
+        print("warning: no tokenizer.json; using stand-in tokens",
+              file=sys.stderr)
 
     result = synthesize(
         models,

@@ -43,7 +43,7 @@ io/checkpoint.py's conversion.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -221,9 +221,9 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
     # afterwards. This keeps the compiled module small (the remote TPU
     # compiler choked on a 30x-unrolled body) while avoiding the
     # full-cache re-materialization that made scan-carried caches slow.
+    # slot n holds stale/zero data; it stays masked — the appended fresh
+    # column below stands in for the current token
     scale = jnp.sqrt(jnp.float32(cfg.d_head))
-    # slot n holds stale/zero data; exclude it — the fresh column stands in
-    self_col = jnp.ones((b, 1, 1, 1), jnp.float32)
 
     def layer(h, xs):
         block, k_l, v_l = xs

@@ -2,6 +2,7 @@ from tortoise_tpu.parallel.mesh import make_mesh  # noqa: F401
 from tortoise_tpu.parallel.sharding import (  # noqa: F401
     ar_param_specs,
     batch_spec,
+    place_batch,
     replicated,
     shard_tree,
 )

@@ -57,3 +57,18 @@ def shard_tree(tree, specs):
         lambda a, s: jax.device_put(a, s), tree, specs,
         is_leaf=lambda x: not isinstance(x, dict),
     )
+
+
+def place_batch(arr, mesh: Optional[Mesh], batch_axis: int = 0):
+    """Device-put a batched array with its batch axis sharded over "dp"
+    (replicated fallback when the batch does not divide the dp size).
+    mesh=None returns the array unchanged."""
+    if mesh is None:
+        return arr
+    import numpy as np
+
+    arr = np.asarray(arr) if not hasattr(arr, "sharding") else arr
+    dp = mesh.shape.get("dp", 1)
+    if arr.shape[batch_axis] % dp != 0:
+        return jax.device_put(arr, replicated(mesh))
+    return jax.device_put(arr, batch_spec(mesh, arr.ndim, batch_axis))

@@ -201,6 +201,7 @@ def autoregressive_batch(
     seed: int = 0,
     compute_dtype=None,
     qkv_f16: bool = False,
+    mesh=None,
 ) -> Tuple[List[np.ndarray], List[List[int]]]:
     """Batched serving path: different token sequences per row (list of id
     lists) with per-row voices (B, d) or one shared (d,) latent. Rows are
@@ -226,25 +227,32 @@ def autoregressive_batch(
     if voices.ndim == 1:
         voices = np.broadcast_to(voices, (b, voices.shape[0]))
     params = cast_matmul_weights(params, compute_dtype)
-    logits, cache = _prefill_jit(params, cfg, jnp.asarray(text_ids),
-                                 jnp.asarray(text_valid),
-                                 jnp.asarray(voices), compute_dtype,
-                                 qkv_f16)
-    first_ids = np.full((b, max(lens) + 2), 1, np.int32)
-    first_ids[:, -1] = cfg.start_mel_token
 
-    key = jax.random.PRNGKey(seed)
-    toks, n_steps, lengths = _generate_jit(
-        params, cfg, logits, jnp.asarray(first_ids), cache, key,
-        cfg.max_decode_steps, compute_dtype, qkv_f16,
-    )
-    sequences = _sequences_from_token_matrix(np.asarray(toks),
-                                             np.asarray(lengths), cfg)
-    padded = [apply_padding(s, cfg) for s in sequences]
-    mel_ids = jnp.asarray(np.asarray(padded, np.int32))
-    latents = _latents_jit(params, cfg, jnp.asarray(text_ids),
-                           jnp.asarray(text_valid), mel_ids,
-                           jnp.asarray(voices), compute_dtype, qkv_f16)
+    import contextlib
+
+    from tortoise_tpu.parallel import place_batch
+
+    ctx = mesh or contextlib.nullcontext()
+    with ctx:
+        text_sh = place_batch(text_ids, mesh)
+        valid_sh = place_batch(text_valid, mesh)
+        voice_sh = place_batch(voices, mesh)
+        logits, cache = _prefill_jit(params, cfg, text_sh, valid_sh,
+                                     voice_sh, compute_dtype, qkv_f16)
+        first_ids = np.full((b, max(lens) + 2), 1, np.int32)
+        first_ids[:, -1] = cfg.start_mel_token
+
+        key = jax.random.PRNGKey(seed)
+        toks, n_steps, lengths = _generate_jit(
+            params, cfg, logits, place_batch(first_ids, mesh), cache, key,
+            cfg.max_decode_steps, compute_dtype, qkv_f16,
+        )
+        sequences = _sequences_from_token_matrix(np.asarray(toks),
+                                                 np.asarray(lengths), cfg)
+        padded = [apply_padding(s, cfg) for s in sequences]
+        mel_ids = place_batch(np.asarray(padded, np.int32), mesh)
+        latents = _latents_jit(params, cfg, text_sh, valid_sh, mel_ids,
+                               voice_sh, compute_dtype, qkv_f16)
     trimmed = trim_latents(np.asarray(latents), padded, cfg)
     return trimmed, padded
 

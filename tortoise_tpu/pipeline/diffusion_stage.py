@@ -136,6 +136,7 @@ def diffusion_batch(
     variance_swap: bool = True,
     compute_dtype=None,
     bucketed: bool = True,
+    mesh=None,
 ):
     """Batched serving path: a list of (L_i, 1024) latents -> list of
     (100, T_i) mels, decoded together in one on-device 80-step loop with
@@ -167,20 +168,27 @@ def diffusion_batch(
                                   cfg.rel_pos_max_distance))
     sched = _schedule_arrays(cfg)
 
-    code_emb2 = _code_emb_jit(
-        params, cfg, jnp.asarray(lat_in), lat_buckets,
-        jnp.asarray(lat_lens), jnp.asarray(out_lens), out_pad,
-        jnp.asarray(lat_mask), compute_dtype,
-    )
+    import contextlib
 
-    key = jax.random.PRNGKey(seed)
-    key, sub = jax.random.split(key)
-    noise = jax.random.normal(sub, (b, cfg.n_mel, out_pad))
-    noise = jnp.where(jnp.asarray(out_mask)[:, None, :], noise, 0.0)
-    x = np.asarray(_diffusion_loop_jit(
-        params, cfg, sched, code_emb2, noise, out_buckets,
-        jnp.asarray(out_mask), key, variance_swap, compute_dtype,
-    ))
+    from tortoise_tpu.parallel import place_batch
+
+    ctx = mesh or contextlib.nullcontext()
+    with ctx:
+        code_emb2 = _code_emb_jit(
+            params, cfg, place_batch(lat_in, mesh), lat_buckets,
+            place_batch(lat_lens, mesh), place_batch(out_lens, mesh),
+            out_pad, place_batch(lat_mask, mesh), compute_dtype,
+        )
+
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, (b, cfg.n_mel, out_pad))
+        out_mask_sh = place_batch(out_mask, mesh)
+        noise = jnp.where(jnp.asarray(out_mask)[:, None, :], noise, 0.0)
+        x = np.asarray(_diffusion_loop_jit(
+            params, cfg, sched, code_emb2, noise, out_buckets,
+            out_mask_sh, key, variance_swap, compute_dtype,
+        ))
     return [x[i, :, : out_lens[i]] for i in range(b)]
 
 

@@ -117,12 +117,15 @@ def synthesize_batch(
     seed: int = 0,
     compute_dtype=None,
     tokenizer_method: str = "greedy",
+    mesh=None,
 ) -> List[SynthesisResult]:
     """Batched serving path: synthesize several utterances together. Each
     stage runs one batched on-device computation with per-row masked
-    lengths (the batch dimension shards over the dp mesh axis under a
-    Mesh). `voices`: one (d,) latent shared by all rows, a (B, d) array,
-    or a list of paths/arrays per row."""
+    lengths. Pass `mesh` (e.g. parallel.make_mesh(...)) to shard the batch
+    dimension over its "dp" axis — batch size should divide the dp size
+    (otherwise inputs fall back to replicated placement). `voices`: one
+    (d,) latent shared by all rows, a (B, d) array, or a list of
+    paths/arrays per row."""
     from tortoise_tpu.pipeline.ar_stage import autoregressive_batch
     from tortoise_tpu.pipeline.diffusion_stage import diffusion_batch
     from tortoise_tpu.pipeline.vocoder_stage import vocoder_batch
@@ -150,19 +153,20 @@ def synthesize_batch(
     t0 = time.monotonic()
     latents, sequences = autoregressive_batch(
         models.ar_params, tokens_list, voices, models.ar_cfg, seed=seed,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, mesh=mesh,
     )
     timings["autoregressive_s"] = time.monotonic() - t0
 
     t0 = time.monotonic()
     mels = diffusion_batch(models.diffusion_params, latents,
                            models.diffusion_cfg, seed=seed + 1,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, mesh=mesh)
     timings["diffusion_s"] = time.monotonic() - t0
 
     t0 = time.monotonic()
     audios = vocoder_batch(models.vocoder_params, mels, models.vocoder_cfg,
-                           seed=seed + 2, compute_dtype=compute_dtype)
+                           seed=seed + 2, compute_dtype=compute_dtype,
+                           mesh=mesh)
     timings["vocoder_s"] = time.monotonic() - t0
 
     return [

@@ -51,6 +51,7 @@ def vocoder_batch(
     seed: int = 0,
     compute_dtype=None,
     bucketed: bool = True,
+    mesh=None,
 ):
     """Batched serving path: list of (n_mel, M_i) normalized mels -> list
     of audio arrays, vocoded together with per-row masked lengths."""
@@ -66,12 +67,18 @@ def vocoder_batch(
         mel_in[i, :, : m.shape[1]] = denormalize_tacotron_mel(m)
         mel_in[i, :, m.shape[1] : totals[i]] = MEL_PAD_VALUE
 
+    import contextlib
+
+    from tortoise_tpu.parallel import place_batch
+
     key = jax.random.PRNGKey(seed)
-    noise = jax.random.normal(key, (b, cfg.noise_ch, pad_total))
-    audio = np.asarray(_vocoder_jit(
-        params, cfg, jnp.asarray(mel_in), noise,
-        jnp.asarray(totals), compute_dtype,
-    ))
+    ctx = mesh or contextlib.nullcontext()
+    with ctx:
+        noise = jax.random.normal(key, (b, cfg.noise_ch, pad_total))
+        audio = np.asarray(_vocoder_jit(
+            params, cfg, place_batch(mel_in, mesh), noise,
+            place_batch(totals, mesh), compute_dtype,
+        ))
     return [audio[i, : totals[i] * cfg.total_upsample - 6] for i in range(b)]
 
 
