@@ -135,3 +135,15 @@ def test_relative_position_buckets_match_reference_loop():
         np.testing.assert_array_equal(
             relative_position_buckets(n), ref(n), err_msg=f"length {n}"
         )
+
+
+def test_make_timestep_map_scales():
+    assert list(ds.make_timestep_map(80)) == REFERENCE_TIMESTEP_MAP
+    m30 = ds.make_timestep_map(30)
+    assert len(m30) == 30 and m30[0] == 0 and m30[-1] == 3999
+    s = ds.make_schedule(n_steps=30)
+    assert s.num_steps == 30
+    import pytest
+
+    with pytest.raises(ValueError):
+        ds.make_timestep_map(1)

@@ -104,3 +104,19 @@ def test_synthesize_batch(models):
         results[1].audio[: min(len(results[0].audio),
                                len(results[1].audio))],
     )
+
+
+def test_reduced_diffusion_steps(models):
+    import dataclasses
+
+    fast = dataclasses.replace(models.diffusion_cfg, n_sample_timesteps=10)
+    fast_models = TortoiseModels(
+        ar_params=models.ar_params,
+        diffusion_params=models.diffusion_params,
+        vocoder_params=models.vocoder_params,
+        ar_cfg=models.ar_cfg, diffusion_cfg=fast,
+        vocoder_cfg=models.vocoder_cfg,
+    )
+    voice = np.zeros((models.ar_cfg.d_model,), np.float32)
+    res = synthesize(fast_models, tokens=_tokens(models), voice=voice, seed=0)
+    assert np.isfinite(res.audio).all() and len(res.audio) > 0

@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "upstream tortoise-tts")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 matmuls (faster on TPU)")
+    p.add_argument("--diffusion-steps", type=int, default=80,
+                   help="respaced DDPM steps (80 matches the reference; "
+                        "fewer is faster at some quality cost)")
+    p.add_argument("--no-flash", action="store_true",
+                   help="disable the Pallas flash-attention kernel "
+                        "(auto-enabled on TPU)")
     p.add_argument("--random-weights", action="store_true",
                    help="use a synthetic random checkpoint (flow testing "
                         "without the published weights)")
@@ -104,6 +110,16 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         compute_dtype = jnp.bfloat16
+
+    import dataclasses
+
+    import jax
+
+    models.diffusion_cfg = dataclasses.replace(
+        models.diffusion_cfg,
+        n_sample_timesteps=args.diffusion_steps,
+        use_flash=(jax.default_backend() == "tpu" and not args.no_flash),
+    )
 
     def standin_tokens(rng, n):
         return rng.integers(1, models.ar_cfg.n_text_vocab, size=n).tolist()

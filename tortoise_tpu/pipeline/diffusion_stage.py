@@ -39,7 +39,8 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _schedule_arrays(cfg: DiffusionConfig):
-    s = ds.make_schedule(cfg.n_train_timesteps)
+    s = ds.make_schedule(cfg.n_train_timesteps,
+                         n_steps=cfg.n_sample_timesteps)
     return {
         "tmap": jnp.asarray(s.timestep_map, jnp.int32),
         "log_betas": jnp.asarray(np.log(s.betas), jnp.float32),

@@ -30,9 +30,17 @@ import numpy as np
 
 import jax.numpy as jnp
 
-TIMESTEP_MAP_80 = tuple(
-    int(round(i * 3999 / 79)) for i in range(80)
-)  # == the table hardcoded at main.cpp:5641-5648
+def make_timestep_map(n_steps: int, n_train: int = 4000):
+    """Evenly respaced original-timestep ids; at n_steps=80 this reproduces
+    the table hardcoded at main.cpp:5641-5648."""
+    if n_steps < 2:
+        raise ValueError("need at least 2 sampling steps")
+    return tuple(
+        int(round(i * (n_train - 1) / (n_steps - 1))) for i in range(n_steps)
+    )
+
+
+TIMESTEP_MAP_80 = make_timestep_map(80)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,9 +71,11 @@ def linear_betas(n: int = 4000) -> np.ndarray:
     return start + i * np.float64(np.float32(end - start)) / (n - 1)
 
 
-def make_schedule(n_train: int = 4000, timestep_map=None) -> Schedule:
+def make_schedule(n_train: int = 4000, timestep_map=None,
+                  n_steps: int = 80) -> Schedule:
     if timestep_map is None:
-        timestep_map = TIMESTEP_MAP_80
+        timestep_map = (TIMESTEP_MAP_80 if n_steps == 80
+                        else make_timestep_map(n_steps, n_train))
     tmap = np.asarray(timestep_map, np.int64)
     acp_full = np.cumprod(1.0 - linear_betas(n_train))
     acp_at = acp_full[tmap]
