@@ -184,3 +184,22 @@ def test_reflect_extend():
     np.testing.assert_array_equal(out[:6], [0, 1, 2, 3, 4, 5])
     np.testing.assert_array_equal(out[6:9], [4, 3, 2])
     np.testing.assert_array_equal(out[9:], [9])
+
+
+@pytest.mark.parametrize("gap", [0, 1, 2, 3, 5])
+def test_vocoder_bucket_invariance_small_gaps(setup, gap):
+    """The right-edge noise reflection must come from the true signal edge
+    even when the bucket slack is smaller than the reflect width (3)."""
+    cfg, params, mel, noise = setup
+    m = mel.shape[1]
+    mel_p = np.zeros((cfg.n_mel, m + gap), np.float32)
+    mel_p[:, :m] = mel
+    noise_p = np.zeros((cfg.noise_ch, m + gap), np.float32)
+    noise_p[:, :m] = noise
+    exact = np.asarray(vm.vocoder_forward(
+        params, cfg, jnp.asarray(mel[None]), jnp.asarray(noise[None])))[0]
+    padded = np.asarray(vm.vocoder_forward(
+        params, cfg, jnp.asarray(mel_p[None]), jnp.asarray(noise_p[None]),
+        mel_len=jnp.int32(m)))[0]
+    np.testing.assert_allclose(padded[: m * 4 - 6], exact, atol=1e-4,
+                               err_msg=f"gap {gap}")

@@ -61,16 +61,6 @@ class KVCache(NamedTuple):
     length: jax.Array  # () int32 — next write offset
 
 
-def init_cache(cfg: ARConfig, batch: int, dtype=jnp.float32) -> KVCache:
-    shape = (cfg.n_layer, batch, cfg.n_head, cfg.cache_len, cfg.d_head)
-    return KVCache(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
-        valid=jnp.zeros((batch, cfg.cache_len), bool),
-        length=jnp.zeros((), jnp.int32),
-    )
-
-
 def _qkv(block, x, cfg: ARConfig, compute_dtype, qkv_f16=False):
     """Fused qkv projection -> (q, k, v) each (B, H, S, Dh)."""
     b, s, d = x.shape

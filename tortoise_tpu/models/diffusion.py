@@ -223,7 +223,7 @@ def code_embeddings(params, cfg: DiffusionConfig, latents, lat_buckets,
         if lat_len.ndim == 0:
             idx = (jnp.arange(out_len_pad) * lat_len) // jnp.maximum(
                 out_len, 1)
-            idx = jnp.clip(idx, 0, cond.shape[-1] - 1)
+            idx = jnp.clip(idx, 0, jnp.maximum(lat_len - 1, 0))
             up = jnp.take(cond, idx, axis=-1)
         else:
             b = cond.shape[0]
@@ -231,7 +231,7 @@ def code_embeddings(params, cfg: DiffusionConfig, latents, lat_buckets,
             out_len = jnp.broadcast_to(out_len, (b,))
             idx = (jnp.arange(out_len_pad)[None, :] * lat_len[:, None]) \
                 // jnp.maximum(out_len[:, None], 1)
-            idx = jnp.clip(idx, 0, cond.shape[-1] - 1)
+            idx = jnp.clip(idx, 0, jnp.maximum(lat_len[:, None] - 1, 0))
             up = jnp.take_along_axis(
                 cond, jnp.broadcast_to(idx[:, None, :],
                                        cond.shape[:-1] + (out_len_pad,)),

@@ -146,14 +146,18 @@ def vocoder_forward(params, cfg: VocoderConfig, mel, noise, mel_len=None,
     """mel (B, n_mel, M): denormalized + 10 pad frames (+ optional zero
     bucket padding with `mel_len` the true M); noise (B, noise_ch, M).
     Returns audio (B, M * prod(strides) - 6)."""
-    x = _mask_time(noise, mel_len)
-    x = reflect_extend(x, mel_len, 3)
     if mel_len is None:
-        x = reflect_pad1d(x, 3)
+        x = reflect_pad1d(noise, 3)
     else:
-        # left edge is the array edge; right-edge reflection was written
-        # into the bucket padding above
-        x = jnp.pad(x, ((0, 0), (0, 0), (3, 3)), mode="reflect")
+        # bucketed: reflect at the TRUE signal edges, not the bucket edges.
+        # Surround with 3 explicit zero slots so the right-edge reflection
+        # always has room even when the bucket slack is < 3, then write
+        # the reflections: left pad is static (signal starts at offset 3),
+        # right pad lands at the traced true length.
+        x = _mask_time(noise, mel_len)
+        x = jnp.pad(x, ((0, 0), (0, 0), (3, 3)))
+        x = x.at[:, :, 0:3].set(x[:, :, 6:3:-1])
+        x = reflect_extend(x, jnp.asarray(mel_len) + 3, 3)
     x = conv1d(x, params["pre_w"], params["pre_b"], padding=0,
                compute_dtype=compute_dtype)
 

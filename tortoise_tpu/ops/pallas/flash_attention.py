@@ -15,8 +15,9 @@ or None; causal flag. Returns (B, H, T, D) in float32.
 The kernel grid is (B, H, T/BQ); each program streams the KV axis in BK
 tiles with a fori_loop carrying the running max / normalizer / accumulator
 (the standard online-softmax recurrence). Matmuls accumulate in f32 via
-``preferred_element_type``; masked or future tiles are skipped via
-``@pl.when`` so causal attention does ~half the work.
+``preferred_element_type``. In causal mode the fori_loop bound excludes
+tiles strictly after the query tile (~half the work); fully-masked padded
+tiles are still streamed and scored (their NEG_INF scores contribute 0).
 
 Falls back to interpreter mode off-TPU (tests run it on CPU), and the
 pure-XLA reference implementation lives in ``xla_attention`` for A/B

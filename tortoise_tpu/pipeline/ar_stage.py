@@ -228,11 +228,10 @@ def autoregressive_batch(
         voices = np.broadcast_to(voices, (b, voices.shape[0]))
     params = cast_matmul_weights(params, compute_dtype)
 
-    import contextlib
-
     from tortoise_tpu.parallel import place_batch
+    from tortoise_tpu.pipeline.common import mesh_context
 
-    ctx = mesh or contextlib.nullcontext()
+    ctx = mesh_context(mesh)
     with ctx:
         text_sh = place_batch(text_ids, mesh)
         valid_sh = place_batch(text_valid, mesh)

@@ -29,13 +29,10 @@ from tortoise_tpu.config import DiffusionConfig, mel_length_for_latents
 from tortoise_tpu.models import diffusion as dmodel
 from tortoise_tpu.ops.relpos import relative_position_buckets
 from tortoise_tpu.pipeline import schedule as ds
+from tortoise_tpu.pipeline.common import mesh_context, round_up
 
 LAT_BUCKET = 32
 OUT_BUCKET = 64
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 def _schedule_arrays(cfg: DiffusionConfig):
@@ -148,9 +145,9 @@ def diffusion_batch(
     lat_lens = np.asarray([l.shape[0] for l in lats], np.int32)
     out_lens = np.asarray([mel_length_for_latents(int(n)) for n in lat_lens],
                           np.int32)
-    lat_pad = _round_up(int(lat_lens.max()), LAT_BUCKET) if bucketed \
+    lat_pad = round_up(int(lat_lens.max()), LAT_BUCKET) if bucketed \
         else int(lat_lens.max())
-    out_pad = _round_up(int(out_lens.max()), OUT_BUCKET) if bucketed \
+    out_pad = round_up(int(out_lens.max()), OUT_BUCKET) if bucketed \
         else int(out_lens.max())
 
     lat_in = np.zeros((b, lat_pad, lats[0].shape[1]), np.float32)
@@ -169,11 +166,9 @@ def diffusion_batch(
                                   cfg.rel_pos_max_distance))
     sched = _schedule_arrays(cfg)
 
-    import contextlib
-
     from tortoise_tpu.parallel import place_batch
 
-    ctx = mesh or contextlib.nullcontext()
+    ctx = mesh_context(mesh)
     with ctx:
         code_emb2 = _code_emb_jit(
             params, cfg, place_batch(lat_in, mesh), lat_buckets,
@@ -216,8 +211,8 @@ def diffusion(
     latents = np.asarray(latents, np.float32)
     lat_len = latents.shape[0]
     out_len = mel_length_for_latents(lat_len)
-    lat_pad = _round_up(lat_len, LAT_BUCKET) if bucketed else lat_len
-    out_pad = _round_up(out_len, OUT_BUCKET) if bucketed else out_len
+    lat_pad = round_up(lat_len, LAT_BUCKET) if bucketed else lat_len
+    out_pad = round_up(out_len, OUT_BUCKET) if bucketed else out_len
 
     lat_in = np.zeros((1, lat_pad, latents.shape[1]), np.float32)
     lat_in[0, :lat_len] = latents
@@ -245,12 +240,12 @@ def diffusion(
         cfg.n_mel, out_len
     )
     x = jnp.asarray(x)
-    np_sched = {k: np.asarray(v) for k, v in sched.items()}
+    tmap = np.asarray(sched["tmap"])
+    mask_dev = jnp.asarray(out_mask)
     for i in range(cfg.n_sample_timesteps):
         t = cfg.n_sample_timesteps - 1 - i
-        out = _denoise_eval_jit(params, cfg, code_emb2, x,
-                                np_sched["tmap"][t], out_buckets,
-                                jnp.asarray(out_mask), variance_swap,
+        out = _denoise_eval_jit(params, cfg, code_emb2, x, tmap[t],
+                                out_buckets, mask_dev, variance_swap,
                                 compute_dtype)
         out = np.asarray(out)
         cond_mean = out[0:1, : cfg.n_mel]
@@ -261,9 +256,9 @@ def diffusion(
             cfg.n_mel * out_len
         ).reshape(cfg.n_mel, out_len)
         x = posterior_step(
-            {k: jnp.asarray(v) for k, v in np_sched.items()}, cfg, x,
-            jnp.asarray(cond_mean), jnp.asarray(uncond_mean),
-            jnp.asarray(var_frac), t, jnp.asarray(step_noise), variance_swap,
+            sched, cfg, x, jnp.asarray(cond_mean),
+            jnp.asarray(uncond_mean), jnp.asarray(var_frac), t,
+            jnp.asarray(step_noise), variance_swap,
         )
-        x = jnp.where(jnp.asarray(out_mask)[:, None, :], x, 0.0)
+        x = jnp.where(mask_dev[:, None, :], x, 0.0)
     return np.asarray(x)[0, :, :out_len]

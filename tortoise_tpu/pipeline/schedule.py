@@ -66,9 +66,12 @@ class Schedule:
 def linear_betas(n: int = 4000) -> np.ndarray:
     scale = 1000.0 / n
     start, end = scale * 0.0001, scale * 0.02
-    i = np.arange(n, dtype=np.float64)
-    # the reference's loop casts the range to float32 once (main.cpp:5397)
-    return start + i * np.float64(np.float32(end - start)) / (n - 1)
+    # the reference computes i * (float)(end-start) / (n-1) with the
+    # multiply AND divide in float32 (ints promote to float), then adds the
+    # double start (main.cpp:5394-5399)
+    frac = (np.arange(n, dtype=np.float32) * np.float32(end - start)
+            / np.float32(n - 1)).astype(np.float64)
+    return start + frac
 
 
 def make_schedule(n_train: int = 4000, timestep_map=None,

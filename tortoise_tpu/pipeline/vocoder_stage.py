@@ -24,6 +24,7 @@ from tortoise_tpu.config import (
     VocoderConfig,
 )
 from tortoise_tpu.models import vocoder as vmodel
+from tortoise_tpu.pipeline.common import mesh_context, round_up
 
 MEL_BUCKET = 32
 
@@ -32,10 +33,6 @@ def denormalize_tacotron_mel(mel):
     """[-1,1] -> [TACOTRON_MEL_MIN, TACOTRON_MEL_MAX] (main.cpp:5575-5584)."""
     return ((mel + 1.0) / 2.0) * (TACOTRON_MEL_MAX - TACOTRON_MEL_MIN) \
         + TACOTRON_MEL_MIN
-
-
-def _round_up(n, m):
-    return ((n + m - 1) // m) * m
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
@@ -59,7 +56,7 @@ def vocoder_batch(
     b = len(mels)
     totals = np.asarray([m.shape[1] + cfg.mel_pad_frames for m in mels],
                         np.int32)
-    pad_total = _round_up(int(totals.max()), MEL_BUCKET) if bucketed \
+    pad_total = round_up(int(totals.max()), MEL_BUCKET) if bucketed \
         else int(totals.max())
 
     mel_in = np.zeros((b, cfg.n_mel, pad_total), np.float32)
@@ -99,7 +96,7 @@ def vocoder(
     mel = np.asarray(mel, np.float32)
     n_mel, m = mel.shape
     total = m + cfg.mel_pad_frames
-    pad_total = _round_up(total, MEL_BUCKET) if bucketed else total
+    pad_total = round_up(total, MEL_BUCKET) if bucketed else total
 
     mel_in = np.zeros((1, n_mel, pad_total), np.float32)
     mel_in[0, :, :m] = denormalize_tacotron_mel(mel)
