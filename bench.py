@@ -74,7 +74,7 @@ def main() -> int:
     _, compile_wall = run(0)
     # the shared dev TPU slice shows +-50% run-to-run variance; report the
     # best of N timed passes
-    n_timed = 1 if small else int(os.environ.get("BENCH_REPS", "2"))
+    n_timed = 1 if small else int(os.environ.get("BENCH_REPS", "3"))
     runs = [run(1 + i) for i in range(n_timed)]
     result, wall = min(runs, key=lambda rw: rw[1])
 

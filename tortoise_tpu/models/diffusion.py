@@ -73,9 +73,10 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
         kv_valid = None
         if mask is not None:
             kv_valid = jnp.broadcast_to(mask, (b, t))
+        kdt = compute_dtype or q.dtype  # halve the kernel's q/k/v streaming
         ctx = flash_attention(
-            q, k.swapaxes(-1, -2), v, None, kv_valid,
-            bias_buckets=buckets, bias_table=rel_w,
+            q.astype(kdt), k.swapaxes(-1, -2).astype(kdt), v.astype(kdt),
+            None, kv_valid, bias_buckets=buckets, bias_table=rel_w,
             interpret=jax.default_backend() != "tpu",
         )
     else:
