@@ -72,3 +72,48 @@ def test_load_shipped_voice_latents():
         lat = load_voice_latent(f"/root/reference/models/{name}.bin")
         assert lat.shape == (1024,)
         assert np.isfinite(lat).all()
+
+
+def test_convert_cli_vocoder_roundtrip(tmp_path):
+    """End-to-end converter: synthesize a production-inventory vocoder GGML
+    file, convert via the CLI, reload, and match the direct conversion."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from tortoise_tpu.config import VocoderConfig
+    from tortoise_tpu.io.checkpoint import (
+        load_npz,
+        random_ggml_tensors,
+        vocoder_params_from_tensors,
+        vocoder_tensor_inventory,
+    )
+    from tortoise_tpu.io.ggml import write_ggml
+
+    cfg = VocoderConfig()
+    tensors = random_ggml_tensors(vocoder_tensor_inventory(cfg), seed=3)
+    tensors["conv_post.1.weight"] = tensors["conv_post.1.weight"].reshape(
+        cfg.ch, 7)  # stored 2-D like the real file (main.cpp:1786)
+    mdir = tmp_path / "models"
+    mdir.mkdir()
+    write_ggml(str(mdir / "ggml-vocoder-model.bin"), tensors)
+
+    import os
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "tortoise_tpu.convert", "--models",
+         str(mdir), "--out", str(tmp_path / "cache")],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "PALLAS_AXON_POOL_IPS": "",
+             "PYTHONPATH": "/root/repo"},
+        cwd="/root/repo",
+    )
+    # rc 1: the AR/diffusion files are absent (reported + skipped)
+    assert proc.returncode == 1, proc.stderr[-500:]
+    assert "ggml-vocoder-model.bin -> vocoder.npz" in proc.stdout
+    loaded = load_npz(str(tmp_path / "cache" / "vocoder.npz"))
+    direct = vocoder_params_from_tensors(tensors, cfg)
+    import jax
+
+    jax.tree.map(np.testing.assert_array_equal, loaded, direct)
