@@ -55,6 +55,8 @@ def main() -> int:
             "BENCH_NO_FLASH") != "1":
         models.diffusion_cfg = dataclasses.replace(models.diffusion_cfg,
                                                    use_flash=True)
+        models.vocoder_cfg = dataclasses.replace(models.vocoder_cfg,
+                                                 use_pallas_lvc=True)
     rng = np.random.default_rng(0)
     tokens = [255] + rng.integers(
         3, models.ar_cfg.n_text_vocab, size=24

@@ -203,3 +203,37 @@ def test_vocoder_bucket_invariance_small_gaps(setup, gap):
         mel_len=jnp.int32(m)))[0]
     np.testing.assert_allclose(padded[: m * 4 - 6], exact, atol=1e-4,
                                err_msg=f"gap {gap}")
+
+
+def test_pallas_lvc_matches_xla_path(setup):
+    import dataclasses
+
+    cfg, params, mel, noise = setup
+    plain = np.asarray(vm.vocoder_forward(
+        params, cfg, jnp.asarray(mel[None]), jnp.asarray(noise[None])))
+    pcfg = dataclasses.replace(cfg, use_pallas_lvc=True)
+    fused = np.asarray(vm.vocoder_forward(
+        params, pcfg, jnp.asarray(mel[None]), jnp.asarray(noise[None])))
+    np.testing.assert_allclose(fused, plain, atol=1e-4)
+
+
+def test_pallas_lvc_kernel_against_loop_oracle():
+    from tortoise_tpu.ops.pallas.lvc import lvc_gated_residual
+
+    rng = np.random.default_rng(7)
+    for c_in, c_res, k, l, hop in [(3, 4, 3, 4, 2), (8, 8, 3, 5, 16),
+                                   (4, 4, 3, 2, 128)]:
+        x = rng.normal(0, 1, (2, c_in, l * hop)).astype(np.float32)
+        kernel = rng.normal(0, 1, (2, c_in, 2 * c_res, k, l)).astype(
+            np.float32)
+        bias = rng.normal(0, 1, (2, 2 * c_res, l)).astype(np.float32)
+        res = rng.normal(0, 1, (2, c_res, l * hop)).astype(np.float32)
+        lv = np.stack([np_lvc(x[b], kernel[b], bias[b], hop)
+                       for b in range(2)])
+        want = res + (1 / (1 + np.exp(-lv[:, :c_res]))) * np.tanh(
+            lv[:, c_res:])
+        got = np.asarray(lvc_gated_residual(
+            jnp.asarray(x), jnp.asarray(kernel), jnp.asarray(bias),
+            jnp.asarray(res), hop, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-4,
+                                   err_msg=f"hop {hop}")

@@ -115,10 +115,15 @@ def main(argv=None) -> int:
 
     import jax
 
+    on_tpu = jax.default_backend() == "tpu"
     models.diffusion_cfg = dataclasses.replace(
         models.diffusion_cfg,
         n_sample_timesteps=args.diffusion_steps,
-        use_flash=(jax.default_backend() == "tpu" and not args.no_flash),
+        use_flash=(on_tpu and not args.no_flash),
+    )
+    models.vocoder_cfg = dataclasses.replace(
+        models.vocoder_cfg,
+        use_pallas_lvc=(on_tpu and not args.no_flash),
     )
 
     def standin_tokens(rng, n):

@@ -92,6 +92,7 @@ class VocoderConfig:
     mel_pad_frames: int = 10         # appended MEL_MIN frames (main.cpp:6051)
     leaky_slope: float = 0.2
     sample_rate: int = 24000
+    use_pallas_lvc: bool = False     # fused Pallas LVC+gate+residual kernel
 
     @property
     def total_upsample(self) -> int:

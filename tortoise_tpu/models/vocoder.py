@@ -186,11 +186,18 @@ def vocoder_forward(params, cfg: VocoderConfig, mel, noise, mel_len=None,
                        dilation=dil, compute_dtype=compute_dtype)
             y = leaky_relu(y, cfg.leaky_slope)
             y = _mask_time(y, valid)
-            y = location_variable_conv(y, kernels[:, c], biases[:, c], hop,
-                                       compute_dtype)
-            gate = jax.nn.sigmoid(y[:, : cfg.ch])
-            filt = jnp.tanh(y[:, cfg.ch :])
-            x = x + gate * filt
+            if cfg.use_pallas_lvc:
+                from tortoise_tpu.ops.pallas.lvc import lvc_gated_residual
+
+                x = lvc_gated_residual(
+                    y, kernels[:, c], biases[:, c], x, hop,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                y = location_variable_conv(y, kernels[:, c], biases[:, c],
+                                           hop, compute_dtype)
+                gate = jax.nn.sigmoid(y[:, : cfg.ch])
+                filt = jnp.tanh(y[:, cfg.ch :])
+                x = x + gate * filt
             x = _mask_time(x, valid)
 
     x = leaky_relu(x, cfg.leaky_slope)
