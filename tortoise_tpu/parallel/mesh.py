@@ -38,8 +38,19 @@ def make_mesh(n_devices: Optional[int] = None,
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"make_mesh: need {n_devices} devices but only {len(devices)} "
+            f"are visible (platform={devices[0].platform if devices else '?'}). "
+            "For a virtual CPU mesh set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+            "before JAX initializes any backend.")
     devices = devices[:n_devices]
     if shape is None:
         shape = _factor(n_devices)
+    if int(np.prod(shape)) != n_devices:
+        raise ValueError(
+            f"make_mesh: shape {tuple(shape)} does not cover "
+            f"{n_devices} devices")
     arr = np.asarray(devices).reshape(tuple(shape))
     return Mesh(arr, tuple(axis_names[: arr.ndim]))
