@@ -1,0 +1,130 @@
+"""Pseudo-golden fixtures: fixed random weights + fixed inputs -> pinned
+stage outputs.
+
+The reference validates end-to-end numerics against committed fixtures
+(/root/reference/main.cpp:6256-6510), but its GGML weight files are not
+present in this environment, so the real golden tests
+(tests/test_golden_parity.py) skip. This module pins the numerics anyway:
+every stage is evaluated on deterministic synthetic weights
+(np.random.default_rng streams are stable across numpy versions) and the
+outputs are committed to tests/data/pseudo_golden.npz. Any change that
+bends a stage's numerics — a masking bug, a reordered reduction outside
+tolerance, a quirk "fix" — fails tests/test_pseudo_golden.py even though
+the numpy oracles in the unit tests could have been edited in the same
+commit.
+
+Regenerate (only after an INTENTIONAL numerics change, and say why in the
+commit message):
+
+    python tests/gen_pseudo_golden.py
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+DATA_PATH = os.path.join(os.path.dirname(__file__), "data",
+                         "pseudo_golden.npz")
+
+
+def compute_outputs() -> dict:
+    """Evaluate every pinned quantity. Returns {name: np.ndarray}."""
+    import jax.numpy as jnp
+
+    from tortoise_tpu.config import (
+        DiffusionConfig,
+        tiny_ar_config,
+        tiny_diffusion_config,
+        tiny_vocoder_config,
+    )
+    from tortoise_tpu.io.checkpoint import (
+        random_ar_params,
+        random_diffusion_params,
+        random_vocoder_params,
+    )
+    from tortoise_tpu.models import ar, diffusion as dmodel, vocoder as vmodel
+    from tortoise_tpu.ops.relpos import relative_position_buckets
+    from tortoise_tpu.pipeline.ar_stage import apply_padding
+    from tortoise_tpu.pipeline.diffusion_stage import (
+        _schedule_arrays,
+        posterior_step,
+    )
+
+    out = {}
+
+    # ---- stage 1: AR prefill / decode / latents (tiny config) ----
+    cfg = tiny_ar_config()
+    params = random_ar_params(cfg, seed=7)
+    rng = np.random.default_rng(11)
+    b, t = 2, 12
+    text_ids = jnp.asarray(rng.integers(0, cfg.n_text_vocab, (b, t)),
+                           jnp.int32)
+    # ragged lengths so the padding mask is part of the pinned behavior
+    text_valid = jnp.asarray(
+        np.arange(t)[None, :] < np.array([[12], [9]]), bool)
+    voice = jnp.asarray(rng.normal(0, 0.5, (cfg.d_model,)), jnp.float32)
+
+    logits, cache = ar.prefill(params, cfg, text_ids, text_valid, voice)
+    out["ar_prefill_logits"] = np.asarray(logits)
+    for i, toks in enumerate([(4, 9), (1, 2), (7, 3)]):
+        logits, cache = ar.decode_step(
+            params, cfg, cache, jnp.asarray(toks, jnp.int32), jnp.int32(i))
+        out[f"ar_decode_logits_{i}"] = np.asarray(logits)
+
+    seqs = [[4, 9, 1, 7, cfg.calm_token, 2], [3, 3, 3]]
+    mel_ids = jnp.asarray([apply_padding(s, cfg) for s in seqs], jnp.int32)
+    latents = ar.latent_forward(params, cfg, text_ids, text_valid, mel_ids,
+                                voice)
+    out["ar_latents"] = np.asarray(latents)
+
+    # ---- stage 2: one denoiser eval (masked) + posterior update ----
+    dcfg = tiny_diffusion_config()
+    dparams = random_diffusion_params(dcfg, seed=3)
+    dt = 12
+    x = jnp.asarray(rng.normal(0, 1, (2, dcfg.n_mel, dt)), jnp.float32)
+    code = jnp.asarray(rng.normal(0, 0.5, (2, dcfg.d_model, dt)),
+                       jnp.float32)
+    buckets = jnp.asarray(relative_position_buckets(
+        dt, dcfg.rel_pos_buckets, dcfg.rel_pos_max_distance))
+    mask = jnp.asarray(np.arange(dt)[None, :] < np.array([[12], [10]]), bool)
+    eps = dmodel.denoise(dparams, dcfg, x, code, jnp.int32(1234), buckets,
+                         mask=mask)
+    out["diff_denoise"] = np.asarray(eps)
+
+    # production DDPM schedule constants (the f32-quirk betas feed every
+    # posterior update; pin a stride-sampled slice of each array)
+    from tortoise_tpu.pipeline.schedule import make_schedule
+
+    s = make_schedule(DiffusionConfig().n_train_timesteps,
+                      n_steps=DiffusionConfig().n_sample_timesteps)
+    for name in ("timestep_map", "betas", "alphas_cumprod",
+                 "posterior_log_variance_clipped", "posterior_mean_coef1",
+                 "posterior_mean_coef2", "sqrt_recip_alphas_cumprod",
+                 "sqrt_recipm1_alphas_cumprod"):
+        arr = np.asarray(getattr(s, name))
+        out[f"sched_{name}"] = arr[:: max(1, len(arr) // 16)]
+    sched = _schedule_arrays(DiffusionConfig())
+
+    # one full posterior step at a mid-loop index (fixed model outputs)
+    cm = jnp.asarray(rng.normal(0, 0.3, (1, DiffusionConfig().n_mel, 4)),
+                     jnp.float32)
+    um = jnp.asarray(rng.normal(0, 0.3, cm.shape), jnp.float32)
+    cv = jnp.asarray(rng.normal(0, 0.3, cm.shape), jnp.float32)
+    xs = jnp.asarray(rng.normal(0, 1.0, cm.shape), jnp.float32)
+    noise = jnp.asarray(rng.normal(0, 1.0, cm.shape), jnp.float32)
+    x_next = posterior_step(sched, DiffusionConfig(), xs, cm, um, cv,
+                            jnp.int32(40), noise)
+    out["diff_posterior_step"] = np.asarray(x_next)
+
+    # ---- stage 3: vocoder audio ----
+    vcfg = tiny_vocoder_config()
+    vparams = random_vocoder_params(vcfg, seed=5)
+    m = 8
+    mel = jnp.asarray(rng.normal(-5.0, 2.0, (1, vcfg.n_mel, m)), jnp.float32)
+    vnoise = jnp.asarray(rng.normal(0, 1, (1, vcfg.noise_ch, m)), jnp.float32)
+    audio = vmodel.vocoder_forward(vparams, vcfg, mel, vnoise)
+    out["voc_audio"] = np.asarray(audio)
+
+    return out
