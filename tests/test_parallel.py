@@ -144,3 +144,25 @@ def test_synthesize_batch_under_mesh():
     for a, b in zip(plain, sharded):
         assert a.sequences == b.sequences
         np.testing.assert_allclose(a.audio, b.audio, atol=1e-4)
+
+
+def test_place_batch_warns_on_replicated_fallback():
+    from tortoise_tpu.parallel import place_batch
+
+    mesh = make_mesh(8, shape=(4, 2))
+    arr = np.zeros((6, 3), np.float32)  # 6 % dp(4) != 0
+    with pytest.warns(UserWarning, match="REPLICATED"):
+        out = place_batch(arr, mesh)
+    assert out.sharding.is_fully_replicated
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # divisible batch: no warning
+        out = place_batch(np.zeros((8, 3), np.float32), mesh)
+    assert not out.sharding.is_fully_replicated
+
+
+def test_make_mesh_insufficient_devices_message():
+    with pytest.raises(ValueError, match="need 64 devices"):
+        make_mesh(64)

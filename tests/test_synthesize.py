@@ -120,3 +120,48 @@ def test_reduced_diffusion_steps(models):
     voice = np.zeros((models.ar_cfg.d_model,), np.float32)
     res = synthesize(fast_models, tokens=_tokens(models), voice=voice, seed=0)
     assert np.isfinite(res.audio).all() and len(res.audio) > 0
+
+
+def test_diffusion_progress_matches_unchunked(models):
+    """The progress-chunked loop must produce the same mel as one jit call,
+    and the callback must reach 1.0."""
+    from tortoise_tpu.pipeline.diffusion_stage import diffusion
+
+    rng = np.random.default_rng(4)
+    lats = rng.normal(0, 0.5, (9, models.diffusion_cfg.d_model)).astype(
+        np.float32)
+    seen = []
+    mel_a = diffusion(models.diffusion_params, lats, models.diffusion_cfg,
+                      seed=5)
+    mel_b = diffusion(models.diffusion_params, lats, models.diffusion_cfg,
+                      seed=5, progress=seen.append)
+    np.testing.assert_allclose(mel_a, mel_b, atol=1e-5)
+    assert seen and seen[0] == 0.0 and seen[-1] == 1.0
+    assert seen == sorted(seen)
+
+
+def test_cli_seed_defaults_to_wall_clock(monkeypatch, tmp_path):
+    """Two unseeded runs must not produce identical audio (the reference
+    seeds from the wall clock when --seed is omitted, main.cpp:6545-6547)."""
+    from tortoise_tpu import cli
+
+    seeds = []
+    real_synth = synthesize
+
+    def spy(models, **kw):
+        seeds.append(kw["seed"])
+        return real_synth(models, **kw)
+
+    monkeypatch.setattr("tortoise_tpu.pipeline.synthesize.synthesize", spy)
+    import itertools
+    import time as _time
+
+    # strictly-increasing fake clock (time.time has other callers too)
+    counter = itertools.count(5000, 1000)
+    monkeypatch.setattr(_time, "time", lambda: float(next(counter)))
+    out = str(tmp_path / "o.wav")
+    for _ in range(2):
+        cli.main(["--random-weights", "--tiny", "--no-progress",
+                  "--diffusion-steps", "2", "--output", out])
+    assert len(seeds) == 2 and seeds[0] != seeds[1]
+    assert all(isinstance(s, int) for s in seeds)

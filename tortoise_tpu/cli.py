@@ -30,7 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--voice", default=None,
                    help="path to a 1024-f32 voice latent .bin")
     p.add_argument("--output", default="output.wav", help="output WAV path")
-    p.add_argument("--seed", type=int, default=0, help="RNG seed")
+    p.add_argument("--seed", type=int, default=None,
+                   help="RNG seed (default: wall clock, like the reference "
+                        "when --seed is omitted, main.cpp:6545-6547)")
+    p.add_argument("--no-progress", action="store_true",
+                   help="disable the live diffusion progress bar")
     p.add_argument("--models", default="models",
                    help="directory with ggml-*.bin + tokenizer.json")
     p.add_argument("--cache-dir", default=None,
@@ -61,13 +65,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.seed is None:
+        # unseeded runs vary, like the reference's wall-clock default
+        # (main.cpp:39-50, 6545-6547)
+        import time
+
+        args.seed = int(time.time()) & 0x7FFFFFFF
 
     import numpy as np
 
     from tortoise_tpu.pipeline.synthesize import TortoiseModels, synthesize
+    from tortoise_tpu.utils.progress import progress_bar
     from tortoise_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
+    progress = None if args.no_progress else progress_bar
 
     if args.random_weights:
         models = TortoiseModels.random(args.seed, tiny=args.tiny)
@@ -153,7 +165,7 @@ def main(argv=None) -> int:
         results = synthesize_batch(
             models, messages=messages, tokens_list=tokens_list,
             voices=voice, seed=args.seed, compute_dtype=compute_dtype,
-            tokenizer_method=args.tokenizer_method,
+            tokenizer_method=args.tokenizer_method, progress=progress,
         )
         root, ext = os.path.splitext(args.output)
         for i, r in enumerate(results):
@@ -184,6 +196,7 @@ def main(argv=None) -> int:
         sampler=args.sampler,
         compute_dtype=compute_dtype,
         tokenizer_method=args.tokenizer_method,
+        progress=progress,
     )
     result.save(args.output)
     total = sum(result.timings.values())

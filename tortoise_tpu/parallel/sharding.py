@@ -70,5 +70,14 @@ def place_batch(arr, mesh: Optional[Mesh], batch_axis: int = 0):
     arr = np.asarray(arr) if not hasattr(arr, "sharding") else arr
     dp = mesh.shape.get("dp", 1)
     if arr.shape[batch_axis] % dp != 0:
+        import warnings
+
+        warnings.warn(
+            f"place_batch: batch size {arr.shape[batch_axis]} does not "
+            f"divide the dp axis ({dp}); falling back to REPLICATED "
+            "placement — no data parallelism for this array. Use a batch "
+            "that is a multiple of the dp size.",
+            stacklevel=2,
+        )
         return jax.device_put(arr, replicated(mesh))
     return jax.device_put(arr, batch_spec(mesh, arr.ndim, batch_axis))

@@ -86,11 +86,12 @@ def posterior_step(sched, cfg: DiffusionConfig, x, cond_mean, uncond_mean,
     static_argnames=("cfg", "variance_swap", "compute_dtype"),
 )
 def _diffusion_loop_jit(params, cfg, sched, code_emb2, x0_noise, out_buckets,
-                        out_mask, key, variance_swap=True,
+                        out_mask, key, lo, hi, variance_swap=True,
                         compute_dtype=None):
-    """Full 80-step loop on device. x0_noise: (B, 100, Tpad) initial noise;
-    code_emb2: (2B, C, Tpad) = [cond rows | uncond rows]; returns
-    (B, 100, Tpad)."""
+    """Denoise loop steps [lo, hi) on device. x0_noise: (B, 100, Tpad) the
+    current sample; code_emb2: (2B, C, Tpad) = [cond rows | uncond rows];
+    returns ((B, 100, Tpad), key). lo/hi are traced, so progress-chunked
+    callers reuse one compilation for the whole range."""
 
     def body(i, carry):
         x, key = carry
@@ -110,9 +111,7 @@ def _diffusion_loop_jit(params, cfg, sched, code_emb2, x0_noise, out_buckets,
             x = jnp.where(out_mask[:, None, :], x, 0.0)
         return x, key
 
-    x, _ = jax.lax.fori_loop(0, cfg.n_sample_timesteps, body,
-                             (x0_noise, key))
-    return x
+    return jax.lax.fori_loop(lo, hi, body, (x0_noise, key))
 
 
 @functools.partial(
@@ -135,11 +134,17 @@ def diffusion_batch(
     compute_dtype=None,
     bucketed: bool = True,
     mesh=None,
+    progress=None,
 ):
     """Batched serving path: a list of (L_i, 1024) latents -> list of
     (100, T_i) mels, decoded together in one on-device 80-step loop with
     per-row masked lengths. Row order is preserved; the batch dimension is
-    dp-shardable."""
+    dp-shardable.
+
+    progress: optional callable(fraction in [0,1]) — the analogue of the
+    reference's live diffusion progress bar (main.cpp:5023-5035, 6032).
+    When set, the on-device loop runs in chunks (one compilation, traced
+    bounds) and the callback fires after each chunk completes."""
     lats = [np.asarray(l, np.float32) for l in latents_list]
     b = len(lats)
     lat_lens = np.asarray([l.shape[0] for l in lats], np.int32)
@@ -181,10 +186,26 @@ def diffusion_batch(
         noise = jax.random.normal(sub, (b, cfg.n_mel, out_pad))
         out_mask_sh = place_batch(out_mask, mesh)
         noise = jnp.where(jnp.asarray(out_mask)[:, None, :], noise, 0.0)
-        x = np.asarray(_diffusion_loop_jit(
-            params, cfg, sched, code_emb2, noise, out_buckets,
-            out_mask_sh, key, variance_swap, compute_dtype,
-        ))
+        n = cfg.n_sample_timesteps
+        if progress is None:
+            x, _ = _diffusion_loop_jit(
+                params, cfg, sched, code_emb2, noise, out_buckets,
+                out_mask_sh, key, jnp.int32(0), jnp.int32(n),
+                variance_swap, compute_dtype,
+            )
+        else:
+            progress(0.0)
+            x = noise
+            cuts = sorted({min(n, c) for c in range(0, n + 8, max(1, n // 10))})
+            for lo, hi in zip(cuts[:-1], cuts[1:]):
+                x, key = _diffusion_loop_jit(
+                    params, cfg, sched, code_emb2, x, out_buckets,
+                    out_mask_sh, key, jnp.int32(lo), jnp.int32(hi),
+                    variance_swap, compute_dtype,
+                )
+                x.block_until_ready()
+                progress(hi / n)
+        x = np.asarray(x)
     return [x[i, :, : out_lens[i]] for i in range(b)]
 
 
@@ -197,16 +218,19 @@ def diffusion(
     variance_swap: bool = True,
     compute_dtype=None,
     bucketed: bool = True,
+    progress=None,
 ) -> np.ndarray:
     """Latents (L, 1024) -> normalized mel (100, T).
 
     rng=None: fully on-device loop with jax.random noise.
     rng=ReferenceRng: host loop that consumes the mt19937 noise stream in
     the reference's exact order (initial noise, then one draw per step).
+    progress: optional callable(fraction) fired as the loop advances.
     """
     if rng is None:
         return diffusion_batch(params, [latents], cfg, seed, variance_swap,
-                               compute_dtype, bucketed)[0]
+                               compute_dtype, bucketed,
+                               progress=progress)[0]
 
     latents = np.asarray(latents, np.float32)
     lat_len = latents.shape[0]
@@ -261,4 +285,6 @@ def diffusion(
             jnp.asarray(step_noise), variance_swap,
         )
         x = jnp.where(mask_dev[:, None, :], x, 0.0)
+        if progress is not None:
+            progress((i + 1) / cfg.n_sample_timesteps)
     return np.asarray(x)[0, :, :out_len]

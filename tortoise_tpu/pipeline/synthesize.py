@@ -118,6 +118,7 @@ def synthesize_batch(
     compute_dtype=None,
     tokenizer_method: str = "greedy",
     mesh=None,
+    progress=None,
 ) -> List[SynthesisResult]:
     """Batched serving path: synthesize several utterances together. Each
     stage runs one batched on-device computation with per-row masked
@@ -160,7 +161,8 @@ def synthesize_batch(
     t0 = time.monotonic()
     mels = diffusion_batch(models.diffusion_params, latents,
                            models.diffusion_cfg, seed=seed + 1,
-                           compute_dtype=compute_dtype, mesh=mesh)
+                           compute_dtype=compute_dtype, mesh=mesh,
+                           progress=progress)
     timings["diffusion_s"] = time.monotonic() - t0
 
     t0 = time.monotonic()
@@ -194,6 +196,7 @@ def synthesize(
     rng=None,
     compute_dtype=None,
     tokenizer_method: str = "greedy",
+    progress=None,
 ) -> SynthesisResult:
     """Run the full pipeline. Provide `message` (tokenized via the models'
     tokenizer) or raw wrapped `tokens`. `voice` is a 1024-f32 latent array
@@ -226,6 +229,7 @@ def synthesize(
     mel = diffusion_stage.diffusion(
         models.diffusion_params, latents[0], models.diffusion_cfg,
         seed=seed + 1, rng=rng, compute_dtype=compute_dtype,
+        progress=progress,
     )
     timings["diffusion_s"] = time.monotonic() - t0
 

@@ -64,12 +64,10 @@ def vocoder_batch(
         mel_in[i, :, : m.shape[1]] = denormalize_tacotron_mel(m)
         mel_in[i, :, m.shape[1] : totals[i]] = MEL_PAD_VALUE
 
-    import contextlib
-
     from tortoise_tpu.parallel import place_batch
 
     key = jax.random.PRNGKey(seed)
-    ctx = mesh or contextlib.nullcontext()
+    ctx = mesh_context(mesh)
     with ctx:
         noise = jax.random.normal(key, (b, cfg.noise_ch, pad_total))
         audio = np.asarray(_vocoder_jit(
