@@ -194,13 +194,17 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
     """One decode step: tokens (B,) sampled ids for this step; `step` is the
     0-based decode index (mel position id is step+2, main.cpp:5237-5245).
     Returns (logits (B, V), updated cache). Fully static shapes — jit once.
+
+    Activations stay FLAT (B, D) / (B, H, Dh) throughout: carrying the
+    singleton sequence dim through 5D transposes costs ~9 ms/step in
+    Mosaic relayouts on v5e (measured: flat formulation 2.9 ms/step vs
+    5D formulation 11.9, scripts/ubench_decode_bisect.py) while the
+    weight-streaming floor is ~1.6 ms/step.
     """
     b = tokens.shape[0]
-    x = _embed_mel(
-        params,
-        tokens.reshape(b, 1),
-        jnp.full((b, 1), 1, jnp.int32) * (step + 2),
-    )
+    h_, dh = cfg.n_head, cfg.d_head
+    x = jnp.take(params["mel_emb"], tokens, axis=0) \
+        + jnp.take(params["mel_pos"], step + 2, axis=0)  # (B, D)
     n = cache.length
     bias = jnp.where(cache.valid, 0.0, NEG_INF)[:, None, None, :]
 
@@ -218,26 +222,39 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
     def layer(h, xs):
         block, k_l, v_l = xs
         y = layer_norm(h, block["ln1_w"], block["ln1_b"], cfg.ln_eps)
-        q, k_new, v_new = _qkv(block, y, cfg, compute_dtype, qkv_f16)
-        scores = pdot(q, k_l.swapaxes(-1, -2), compute_dtype) / scale
-        self_score = jnp.sum(q * k_new, axis=-1, keepdims=True)[
-            ..., None, :, 0] / scale  # (B, H, 1, 1)
+        qkv = pdot(y, block["attn_w"], compute_dtype) + block["attn_b"]
+        if qkv_f16:
+            qkv = qkv.astype(jnp.float16).astype(jnp.float32)
+        qkv = qkv.reshape(b, 3, h_, dh)
+        q, k_new, v_new = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # (B, H, Dh)
+        scores = pdot(q[:, :, None, :], k_l.swapaxes(-1, -2),
+                      compute_dtype) / scale               # (B, H, 1, C)
+        self_score = (jnp.sum(q * k_new, axis=-1)[:, :, None, None]
+                      / scale)                             # (B, H, 1, 1)
         scores = jnp.concatenate(
             [scores + bias, self_score.astype(scores.dtype)], axis=-1)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         p_cache, p_self = probs[..., :-1], probs[..., -1:]
-        ctx = pdot(p_cache.astype(q.dtype), v_l, compute_dtype) \
-            + p_self.astype(jnp.float32) * v_new.astype(jnp.float32)
-        h = _attn_out(block, ctx, h, cfg, compute_dtype)
-        return h, (k_new, v_new)
+        ctx = pdot(p_cache.astype(q.dtype), v_l, compute_dtype)[:, :, 0] \
+            + p_self[:, :, 0].astype(jnp.float32) * v_new.astype(jnp.float32)
+        merged = ctx.reshape(b, h_ * dh)
+        attn = pdot(merged, block["proj_w"], compute_dtype) \
+            + block["proj_b"]
+        h = h + attn
+        y = layer_norm(h, block["ln2_w"], block["ln2_b"], cfg.ln_eps)
+        y = gelu(pdot(y, block["fc_w"], compute_dtype) + block["fc_b"])
+        y = pdot(y, block["fc_proj_w"], compute_dtype) + block["fc_proj_b"]
+        return h + y, (k_new, v_new)
 
     h, (k_rows, v_rows) = jax.lax.scan(
         layer, x, (params["blocks"], cache.k, cache.v))
     k = jax.lax.dynamic_update_slice(
-        cache.k, k_rows.astype(cache.k.dtype), (0, 0, 0, n, 0))
+        cache.k, k_rows[:, :, :, None, :].astype(cache.k.dtype),
+        (0, 0, 0, n, 0))
     v = jax.lax.dynamic_update_slice(
-        cache.v, v_rows.astype(cache.v.dtype), (0, 0, 0, n, 0))
-    logits = _head(params, h[:, -1:, :], cfg, compute_dtype)[:, 0, :]
+        cache.v, v_rows[:, :, :, None, :].astype(cache.v.dtype),
+        (0, 0, 0, n, 0))
+    logits = _head(params, h, cfg, compute_dtype)
     valid = cache.valid.at[:, n].set(True)
     return logits, KVCache(k, v, valid, n + 1)
 

@@ -40,17 +40,23 @@ _MATMUL_WEIGHTS = ("attn_w", "proj_w", "fc_w", "fc_proj_w")
 
 
 def cast_matmul_weights(params, dtype):
-    """Store the big matmul weights in the compute dtype so the decode
-    loop streams half the bytes from HBM (decode is weight-bandwidth
-    bound); norms/biases/embeddings stay f32."""
+    """Device-resident AR param tree: the big matmul weights stored in the
+    compute dtype (decode is weight-bandwidth bound), everything else f32.
+
+    ALL leaves are moved to the default device. Leaving leaves as numpy
+    means every jitted entry point re-uploads them per call — measured
+    ~0.6 s per call through the remote-TPU tunnel just for the embedding
+    tables, which dwarfed the ~2 ms/step on-device decode loop."""
+    from tortoise_tpu.pipeline.common import ensure_device
+
     if dtype is None:
-        return params
+        return ensure_device(params)
     blocks = dict(params["blocks"])
     for k in _MATMUL_WEIGHTS:
         blocks[k] = jnp.asarray(blocks[k], dtype)
     out = dict(params, blocks=blocks)
     out["lm_w"] = jnp.asarray(params["lm_w"], dtype)
-    return out
+    return ensure_device(out)
 
 TEXT_BUCKETS = (32, 64, 128, 192, 256, 320, 404)
 

@@ -145,6 +145,9 @@ def diffusion_batch(
     reference's live diffusion progress bar (main.cpp:5023-5035, 6032).
     When set, the on-device loop runs in chunks (one compilation, traced
     bounds) and the callback fires after each chunk completes."""
+    from tortoise_tpu.pipeline.common import ensure_device
+
+    params = ensure_device(params)
     lats = [np.asarray(l, np.float32) for l in latents_list]
     b = len(lats)
     lat_lens = np.asarray([l.shape[0] for l in lats], np.int32)
@@ -232,6 +235,9 @@ def diffusion(
                                compute_dtype, bucketed,
                                progress=progress)[0]
 
+    from tortoise_tpu.pipeline.common import ensure_device
+
+    params = ensure_device(params)
     latents = np.asarray(latents, np.float32)
     lat_len = latents.shape[0]
     out_len = mel_length_for_latents(lat_len)

@@ -37,6 +37,20 @@ class TortoiseModels:
     vocoder_cfg: VocoderConfig = VocoderConfig()
     tokenizer: Optional[Tokenizer] = None
 
+    def to_device(self) -> "TortoiseModels":
+        """Move all param trees onto the default device, in place.
+
+        Host-resident (numpy) params are re-uploaded by jit on EVERY
+        call — seconds per stage through a remote-TPU tunnel. Idempotent:
+        already-committed arrays are left untouched. synthesize() /
+        synthesize_batch() call this automatically."""
+        from tortoise_tpu.pipeline.common import ensure_device
+
+        self.ar_params = ensure_device(self.ar_params)
+        self.diffusion_params = ensure_device(self.diffusion_params)
+        self.vocoder_params = ensure_device(self.vocoder_params)
+        return self
+
     @classmethod
     def from_ggml_dir(cls, model_dir: str, cache_dir: Optional[str] = None,
                       **cfgs) -> "TortoiseModels":
@@ -150,6 +164,7 @@ def synthesize_batch(
     if voices is None:
         raise ValueError("voice latents are required")
 
+    models.to_device()
     timings = {}
     t0 = time.monotonic()
     latents, sequences = autoregressive_batch(
@@ -215,6 +230,7 @@ def synthesize(
 
         rng = ReferenceRng(seed)
 
+    models.to_device()
     timings = {}
     t0 = time.monotonic()
     latents, sequences = ar_stage.autoregressive(

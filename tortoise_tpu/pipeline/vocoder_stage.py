@@ -52,6 +52,9 @@ def vocoder_batch(
 ):
     """Batched serving path: list of (n_mel, M_i) normalized mels -> list
     of audio arrays, vocoded together with per-row masked lengths."""
+    from tortoise_tpu.pipeline.common import ensure_device
+
+    params = ensure_device(params)
     mels = [np.asarray(m, np.float32) for m in mel_list]
     b = len(mels)
     totals = np.asarray([m.shape[1] + cfg.mel_pad_frames for m in mels],
@@ -91,6 +94,9 @@ def vocoder(
 
     rng=None: jax.random noise; rng=ReferenceRng: the reference's mt19937
     noise stream (drawn before the model pass, main.cpp:6056-6060)."""
+    from tortoise_tpu.pipeline.common import ensure_device
+
+    params = ensure_device(params)
     mel = np.asarray(mel, np.float32)
     n_mel, m = mel.shape
     total = m + cfg.mel_pad_frames
