@@ -76,7 +76,9 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
         kdt = compute_dtype or q.dtype  # halve the kernel's q/k/v streaming
         ctx = flash_attention(
             q.astype(kdt), k.swapaxes(-1, -2).astype(kdt), v.astype(kdt),
-            None, kv_valid, bias_buckets=buckets, bias_table=rel_w,
+            None, kv_valid, bias_table=rel_w, bias_formula=True,
+            bias_max_distance=cfg.rel_pos_max_distance,
+            bq=256, bk=256,  # measured: 256-tiles hide the mask/bias cost
             interpret=jax.default_backend() != "tpu",
         )
     else:

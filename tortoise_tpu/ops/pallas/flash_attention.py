@@ -39,31 +39,23 @@ NEG_INF = -1e30
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
                  bq: int, bk: int, t_kv: int, causal: bool, scale: float,
-                 have_bias: bool, have_mask: bool, table_bias: bool = False,
-                 n_buckets: int = 32, bias_scale: float = 8.0):
+                 have_bias: bool, have_mask: bool, block_bias: bool = False,
+                 n_q_blocks: int = 1):
     qi = pl.program_id(2)
-    hi = pl.program_id(1)
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (BQ, D)
+    q = q_ref[0, 0]  # (BQ, D) native dtype — MXU runs bf16 single-pass
     n_kv = t_kv // bk
-    if have_bias and table_bias:
-        buckets_ref, table_ref = bias_ref
-        # this head's per-bucket bias row, selected by the BlockSpec
-        # index_map (Mosaic cannot dynamically index the lane dim)
-        col = table_ref[0, 0, :] * bias_scale
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
-        if have_bias and table_bias:
-            # reconstruct the rel-pos bias tile from bucket ids: cheaper
-            # than materializing and streaming an (H, T, T) bias array
-            bkt = buckets_ref[0, :, pl.ds(j * bk, bk)]
-            tile = jnp.zeros((bq, bk), jnp.float32)
-            for bb in range(n_buckets):
-                tile = tile + jnp.where(bkt == bb, col[bb], 0.0)
-            s = s + tile
+        k = k_ref[0, 0, pl.ds(j * bk, bk), :]
+        v = v_ref[0, 0, pl.ds(j * bk, bk), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        if have_bias and block_bias:
+            # Toeplitz rel-pos bias: the (BQ, BK) tile depends only on the
+            # block diagonal j - qi, so the caller pre-gathers the
+            # ND = nq+nk-1 distinct tiles per head and the kernel just
+            # indexes — no per-element bucket reconstruction.
+            s = s + bias_ref[0, j - qi + (n_q_blocks - 1)]
         elif have_bias:
             s = s + bias_ref[0, :, pl.ds(j * bk, bk)]
         if have_mask:
@@ -79,7 +71,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v,
+        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
                                     preferred_element_type=jnp.float32)
         return m_new, l, acc
 
@@ -110,7 +102,7 @@ def _pad_to(x, axis, mult):
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "bq", "bk", "interpret",
-                     "bias_scale"),
+                     "bias_scale", "bias_formula", "bias_max_distance"),
 )
 def flash_attention(
     q: jax.Array,
@@ -126,18 +118,26 @@ def flash_attention(
     bias_buckets: Optional[jax.Array] = None,
     bias_table: Optional[jax.Array] = None,
     bias_scale: float = 8.0,
+    bias_formula: bool = False,
+    bias_max_distance: int = 64,
 ) -> jax.Array:
     """q,k,v: (B, H, T, D); kv_valid: (B, T) bool. Bias either as a
     materialized (H, T, T) `bias`, or compactly as `bias_buckets` (T, T)
-    int32 + `bias_table` (NB, H) with `bias_scale` — the kernel
-    reconstructs bias tiles on the fly (streaming a materialized bias at
-    production sizes costs more HBM traffic than the attention itself).
-    Returns f32 (B, H, T, D)."""
+    int32 + `bias_table` (NB, H) with `bias_scale`. The bucket bias is a
+    function of j - i only (T5 buckets are Toeplitz), so the wrapper
+    pre-gathers the nq+nk-1 distinct (BQ, BK) bias tiles per head and the
+    kernel indexes them by block diagonal — streaming a materialized
+    (H, T, T) bias costs more HBM traffic than the attention itself, and
+    per-element bucket reconstruction in-kernel costs ~30x the matmul VPU
+    work. Returns f32 (B, H, T, D)."""
     b, h, t, d = q.shape
     if scale is None:
         scale = 1.0 / (d ** 0.5)
     bq = min(bq, max(t, 8))
     bk = min(bk, max(t, 8))
+    block_bias = bias_buckets is not None or bias_formula
+    if block_bias:
+        bq = bk = min(bq, bk)  # the Toeplitz trick needs square tiles
 
     qp = _pad_to(q, 2, bq)
     kp = _pad_to(k, 2, bk)
@@ -150,13 +150,31 @@ def flash_attention(
     if have_mask:
         # (B, 1, T) so the trailing two block dims satisfy TPU tiling
         maskp = _pad_to(kv_valid, 1, bk)[:, None, :]  # pads with False
-    table_bias = bias_buckets is not None
-    have_bias = bias is not None or table_bias
-    if table_bias:
-        bucketsp = _pad_to(_pad_to(bias_buckets.astype(jnp.int32), 0, bq),
-                           1, bk)[None]  # (1, Tq, Tkv)
-        # (H, 1, NB): trailing block dims (1, NB) satisfy TPU tiling
-        table = bias_table.astype(jnp.float32).T[:, None, :]
+    have_bias = bias is not None or block_bias
+    nq, nk = tq // bq, tkv // bk
+    if bias_formula:
+        # gather-free construction: bucket ids straight from the T5
+        # formula + one-hot matmul table lookup (XLA gathers at these
+        # sizes cost ~40 ms per denoiser eval)
+        from tortoise_tpu.ops.relpos import relpos_bias_blocks
+
+        blocks = relpos_bias_blocks(
+            bias_table, nq, nk, bq, scale=bias_scale,
+            num_buckets=bias_table.shape[0],
+            max_distance=bias_max_distance)
+    elif block_bias:
+        # bucket ids along the j - i diagonal strip (buckets are Toeplitz)
+        strip = jnp.concatenate(
+            [bias_buckets[::-1, 0], bias_buckets[0, 1:]])  # (tq0+tkv0-1,)
+        nd = nq + nk - 1
+        dgrid = jnp.arange(nd)[:, None, None]
+        ii = jnp.arange(bq)[None, :, None]
+        jj = jnp.arange(bk)[None, None, :]
+        delta = (dgrid - (nq - 1)) * bk + jj - ii      # (ND, BQ, BK)
+        sid = jnp.clip(delta + (t - 1), 0, strip.shape[0] - 1)
+        ids = strip[sid]                               # bucket ids
+        blocks = bias_scale * jnp.moveaxis(
+            bias_table.astype(jnp.float32)[ids], -1, 0)  # (H, ND, BQ, BK)
     elif have_bias:
         biasp = _pad_to(_pad_to(bias.astype(jnp.float32), 1, bq), 2, bk)
 
@@ -167,14 +185,11 @@ def flash_attention(
         pl.BlockSpec((1, 1, tkv, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
     ]
     args = [qp, kp, vp]
-    if table_bias:
+    if block_bias:
         in_specs.append(
-            pl.BlockSpec((1, bq, tkv), lambda bi, hi, qi: (0, qi, 0)))
-        args.append(bucketsp)
-        in_specs.append(
-            pl.BlockSpec((1, 1, table.shape[2]),
-                         lambda bi, hi, qi: (hi, 0, 0)))
-        args.append(table)
+            pl.BlockSpec((1, blocks.shape[1], bq, bk),
+                         lambda bi, hi, qi: (hi, 0, 0, 0)))
+        args.append(blocks)
     elif have_bias:
         in_specs.append(
             pl.BlockSpec((1, bq, tkv), lambda bi, hi, qi: (hi, qi, 0)))
@@ -184,12 +199,11 @@ def flash_attention(
             pl.BlockSpec((1, 1, tkv), lambda bi, hi, qi: (bi, 0, 0)))
         args.append(maskp)
 
-    nb = int(bias_table.shape[0]) if table_bias else 32  # buckets
     kernel = functools.partial(
-        _kernel_variant(have_bias, have_mask, table_bias),
+        _kernel_variant(have_bias, have_mask, block_bias),
         bq=bq, bk=bk, t_kv=tkv, causal=causal, scale=scale,
-        have_bias=have_bias, have_mask=have_mask, table_bias=table_bias,
-        n_buckets=nb, bias_scale=bias_scale,
+        have_bias=have_bias, have_mask=have_mask, block_bias=block_bias,
+        n_q_blocks=nq,
     )
 
     out = pl.pallas_call(
@@ -204,21 +218,8 @@ def flash_attention(
     return out[:, :, :t, :]
 
 
-def _kernel_variant(have_bias: bool, have_mask: bool, table_bias: bool):
+def _kernel_variant(have_bias: bool, have_mask: bool, block_bias: bool):
     """Adapt the kernel signature to the optional operands."""
-    if table_bias and have_mask:
-        def k_tm(q_ref, k_ref, v_ref, buckets_ref, table_ref, mask_ref,
-                 out_ref, **kw):
-            return _attn_kernel(q_ref, k_ref, v_ref,
-                                (buckets_ref, table_ref), mask_ref,
-                                out_ref, **kw)
-        return k_tm
-    if table_bias:
-        def k_t(q_ref, k_ref, v_ref, buckets_ref, table_ref, out_ref, **kw):
-            return _attn_kernel(q_ref, k_ref, v_ref,
-                                (buckets_ref, table_ref), None, out_ref,
-                                **kw)
-        return k_t
     if have_bias and have_mask:
         return _attn_kernel
     if have_bias:

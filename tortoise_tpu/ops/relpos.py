@@ -40,3 +40,44 @@ def relpos_bias(weight, buckets, scale: float = 8.0):
     (main.cpp:3265-3266)."""
     bias = jnp.take(weight, buckets, axis=0)  # (L, L, H)
     return jnp.transpose(bias, (2, 0, 1)) * scale
+
+
+def bucket_of_delta(delta, num_buckets: int = 32, max_distance: int = 64):
+    """Bucket ids as a pure elementwise jnp function of j - i.
+
+    Same math as relative_position_buckets (reference
+    main.cpp:4722-4749) but gather-free — XLA gathers at production
+    sizes cost ~40 ms per denoiser eval on v5e; this is a handful of
+    VPU passes. astype(int32) truncates like the reference's C cast."""
+    half = num_buckets // 2
+    rel = jnp.abs(delta)
+    out = jnp.where(delta > 0, half, 0).astype(jnp.int32)
+    rel_safe = jnp.maximum(rel, 8).astype(jnp.float32)
+    val_if_large = 8 + (
+        jnp.log(rel_safe / 8.0) / float(np.log(max_distance / 8.0)) * 8.0
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, half - 1)
+    return out + jnp.where(rel < 8, rel.astype(jnp.int32), val_if_large)
+
+
+def relpos_bias_blocks(weight, nq: int, nk: int, block: int,
+                       scale: float = 8.0, num_buckets: int = 32,
+                       max_distance: int = 64):
+    """Distinct per-block-diagonal bias tiles for the flash kernel.
+
+    The T5 bucket bias depends only on j - i, so for square (block,
+    block) tiles there are only nq+nk-1 distinct tiles. Returns
+    (H, nq+nk-1, block, block) f32: tile d belongs to key-block j and
+    query-block i with d = j - i + nq - 1. Gather-free: bucket ids come
+    from bucket_of_delta and the table lookup is a one-hot matmul."""
+    nd = nq + nk - 1
+    dgrid = jnp.arange(nd)[:, None, None]
+    ii = jnp.arange(block)[None, :, None]
+    jj = jnp.arange(block)[None, None, :]
+    delta = (dgrid - (nq - 1)) * block + jj - ii      # (ND, B, B)
+    ids = bucket_of_delta(delta, num_buckets, max_distance)
+    onehot = (ids[..., None] ==
+              jnp.arange(num_buckets)).astype(weight.dtype)
+    blocks = jnp.einsum("dijn,nh->hdij", onehot, weight,
+                        preferred_element_type=jnp.float32)
+    return blocks * scale
