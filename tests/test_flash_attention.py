@@ -97,3 +97,40 @@ def test_table_bias_mode_matches_materialized():
     want = xla_attention(q, k, v, bias, jnp.asarray(valid))
     np.testing.assert_allclose(np.asarray(got)[:, :, :41],
                                np.asarray(want)[:, :, :41], atol=2e-5)
+
+
+def test_grouped_band_bias_path():
+    """The grouped band-bias fast path (bias_formula, square blocks >= 64)
+    must match XLA attention with the materialized rel-pos bias."""
+    from tortoise_tpu.ops.relpos import relative_position_buckets, relpos_bias
+
+    b, h, t, d = 2, 4, 200, 16
+    q, k, v = (rand((b, h, t, d), s) for s in (1, 2, 3))
+    table = rand((32, h), 4, 0.2)
+    valid = np.ones((b, t), bool)
+    valid[1, 190:] = False
+    got = flash_attention(q, k, v, None, jnp.asarray(valid),
+                          bias_table=table, bias_formula=True,
+                          interpret=True)
+    buckets = jnp.asarray(relative_position_buckets(t))
+    bias = relpos_bias(table, buckets)
+    want = xla_attention(q, k, v, bias, jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(got, np.float32)[:, :, :190],
+                               np.asarray(want)[:, :, :190], atol=2e-4)
+
+
+def test_formula_blocks_path_small():
+    """Small-T inputs take the generic precomputed-blocks path; it must
+    agree with the materialized bias too."""
+    from tortoise_tpu.ops.relpos import relative_position_buckets, relpos_bias
+
+    b, h, t, d = 1, 2, 40, 16
+    q, k, v = (rand((b, h, t, d), s) for s in (5, 6, 7))
+    table = rand((32, h), 8, 0.2)
+    got = flash_attention(q, k, v, None, None, bias_table=table,
+                          bias_formula=True, interpret=True)
+    buckets = jnp.asarray(relative_position_buckets(t))
+    bias = relpos_bias(table, buckets)
+    want = xla_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=2e-4)

@@ -89,6 +89,95 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
     out_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
 
 
+def _attn_kernel_grouped(q_ref, k_ref, v_ref, band_ref, scal_ref, mask_ref,
+                         out_ref, *, bq: int, bk: int, t_kv: int,
+                         n_heads: int, have_mask: bool):
+    """Production diffusion attention: non-causal, T5 band bias, G heads
+    per program so k/v stream from HBM once per batch row instead of once
+    per head. Bias: tiles with block diagonal |d| <= 1 come from the
+    precomputed band, all others are a per-head constant."""
+    qi = pl.program_id(2)
+    hg = pl.program_id(1)
+    n_kv = t_kv // bk
+
+    for g in range(n_heads):
+        q = q_ref[0, g]                       # (BQ, D) native dtype
+        c_l = scal_ref[hg * n_heads + g, 0]   # full (H, 2) array in SMEM
+        c_r = scal_ref[hg * n_heads + g, 1]
+
+        def body(j, carry):
+            m, l, acc = carry
+            k = k_ref[0, g, pl.ds(j * bk, bk), :]
+            v = v_ref[0, g, pl.ds(j * bk, bk), :]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            db = j - qi
+            tile = band_ref[0, g, jnp.clip(db + 1, 0, 2)]
+            scalar = jnp.where(db < 0, c_l, c_r)
+            s = s + jnp.where(jnp.abs(db) <= 1, tile, scalar)
+            if have_mask:
+                valid = mask_ref[0, 0, pl.ds(j * bk, bk)]
+                s = jnp.where(valid[None, :], s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
+                                        preferred_element_type=jnp.float32)
+            return m_new, l, acc
+
+        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc0 = jnp.zeros((bq, q_ref.shape[-1]), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+        out_ref[0, g] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
+def _grouped_flash(qp, kp, vp, band, scalars, maskp, *, bq, bk, tq, tkv,
+                   group, interpret):
+    """pallas_call wrapper for the grouped band-bias kernel. The scale is
+    already folded into q by the caller."""
+    b, h = qp.shape[0], qp.shape[1]
+    d = qp.shape[-1]
+    grid = (b, h // group, tq // bq)
+    in_specs = [
+        pl.BlockSpec((1, group, bq, d), lambda bi, hg, qi: (bi, hg, qi, 0)),
+        pl.BlockSpec((1, group, tkv, d), lambda bi, hg, qi: (bi, hg, 0, 0)),
+        pl.BlockSpec((1, group, tkv, d), lambda bi, hg, qi: (bi, hg, 0, 0)),
+        pl.BlockSpec((1, group, 3, bq, bk),
+                     lambda bi, hg, qi: (0, hg, 0, 0, 0)),
+        # full (H, 2) array: SMEM blocks must cover whole dims
+        pl.BlockSpec((h, 2), lambda bi, hg, qi: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    args = [qp, kp, vp, band[None], scalars]
+    have_mask = maskp is not None
+    if have_mask:
+        in_specs.append(
+            pl.BlockSpec((1, 1, tkv), lambda bi, hg, qi: (bi, 0, 0)))
+        args.append(maskp)
+
+        def kern(q_ref, k_ref, v_ref, band_ref, scal_ref, mask_ref,
+                 out_ref):
+            _attn_kernel_grouped(q_ref, k_ref, v_ref, band_ref, scal_ref,
+                                 mask_ref, out_ref, bq=bq, bk=bk,
+                                 t_kv=tkv, n_heads=group, have_mask=True)
+    else:
+        def kern(q_ref, k_ref, v_ref, band_ref, scal_ref, out_ref):
+            _attn_kernel_grouped(q_ref, k_ref, v_ref, band_ref, scal_ref,
+                                 None, out_ref, bq=bq, bk=bk, t_kv=tkv,
+                                 n_heads=group, have_mask=False)
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, group, bq, d),
+                               lambda bi, hg, qi: (bi, hg, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, qp.dtype),
+        interpret=interpret,
+    )(*args)
+
+
 def _pad_to(x, axis, mult):
     t = x.shape[axis]
     pad = (-t) % mult
@@ -129,7 +218,9 @@ def flash_attention(
     kernel indexes them by block diagonal — streaming a materialized
     (H, T, T) bias costs more HBM traffic than the attention itself, and
     per-element bucket reconstruction in-kernel costs ~30x the matmul VPU
-    work. Returns f32 (B, H, T, D)."""
+    work. Returns (B, H, T, D): f32, except the grouped band-bias fast
+    path (bias_formula, non-causal, square blocks >= 64) which returns
+    q's dtype to halve the output write traffic."""
     b, h, t, d = q.shape
     if scale is None:
         scale = 1.0 / (d ** 0.5)
@@ -152,6 +243,26 @@ def flash_attention(
         maskp = _pad_to(kv_valid, 1, bk)[:, None, :]  # pads with False
     have_bias = bias is not None or block_bias
     nq, nk = tq // bq, tkv // bk
+
+    if (bias_formula and not causal and bq == bk and bq >= 64
+            and tq == tkv):
+        # production diffusion shape: grouped-heads band-bias kernel —
+        # k/v stream once per batch row instead of once per head, and the
+        # off-band bias tiles collapse to per-head constants
+        from tortoise_tpu.ops.relpos import relpos_bias_band
+
+        group = 4 if h % 4 == 0 else (2 if h % 2 == 0 else 1)
+        band, scalars = relpos_bias_band(
+            bias_table, bq, scale=bias_scale,
+            num_buckets=bias_table.shape[0],
+            max_distance=bias_max_distance)
+        qs = qp * jnp.asarray(scale, qp.dtype)
+        out = _grouped_flash(qs, kp, vp, band, scalars,
+                             maskp if have_mask else None,
+                             bq=bq, bk=bk, tq=tq, tkv=tkv, group=group,
+                             interpret=interpret)
+        return out[:, :, :t, :]
+
     if bias_formula:
         # gather-free construction: bucket ids straight from the T5
         # formula + one-hot matmul table lookup (XLA gathers at these

@@ -60,6 +60,29 @@ def bucket_of_delta(delta, num_buckets: int = 32, max_distance: int = 64):
     return out + jnp.where(rel < 8, rel.astype(jnp.int32), val_if_large)
 
 
+def relpos_bias_band(weight, block: int, scale: float = 8.0,
+                     num_buckets: int = 32, max_distance: int = 64):
+    """Band form of the Toeplitz bias for block sizes >= 64.
+
+    The bucket id saturates for |j - i| >= max_distance (and in fact for
+    |delta| >= ~50 with the defaults), so every tile with block diagonal
+    |d| >= 2 is a CONSTANT. Returns (band (H, 3, block, block) f32 for
+    d in {-1, 0, 1}, scalars (H, 2) f32 = [far-left, far-right])."""
+    dgrid = jnp.asarray([-1, 0, 1])[:, None, None]
+    ii = jnp.arange(block)[None, :, None]
+    jj = jnp.arange(block)[None, None, :]
+    delta = dgrid * block + jj - ii
+    ids = bucket_of_delta(delta, num_buckets, max_distance)
+    onehot = (ids[..., None] ==
+              jnp.arange(num_buckets)).astype(weight.dtype)
+    band = jnp.einsum("dijn,nh->hdij", onehot, weight,
+                      preferred_element_type=jnp.float32) * scale
+    far = bucket_of_delta(jnp.asarray([-4 * block, 4 * block]),
+                          num_buckets, max_distance)
+    scalars = (weight.astype(jnp.float32)[far] * scale).T  # (H, 2)
+    return band, scalars
+
+
 def relpos_bias_blocks(weight, nq: int, nk: int, block: int,
                        scale: float = 8.0, num_buckets: int = 32,
                        max_distance: int = 64):
