@@ -166,3 +166,100 @@ def test_place_batch_warns_on_replicated_fallback():
 def test_make_mesh_insufficient_devices_message():
     with pytest.raises(ValueError, match="need 64 devices"):
         make_mesh(64)
+
+
+def test_tp_sharded_diffusion_denoise_matches():
+    """Megatron-style tp over the denoiser's attention heads / resblock
+    channels (diffusion_param_specs) must reproduce the replicated run."""
+    from tortoise_tpu.config import tiny_diffusion_config
+    from tortoise_tpu.io.checkpoint import random_diffusion_params
+    from tortoise_tpu.models import diffusion as dm
+    from tortoise_tpu.ops.relpos import relative_position_buckets
+    from tortoise_tpu.parallel import diffusion_param_specs
+
+    cfg = tiny_diffusion_config()
+    params = random_diffusion_params(cfg, seed=2)
+    rng = np.random.default_rng(5)
+    b, t = 4, 16
+    x = rng.normal(0, 1, (b, cfg.n_mel, t)).astype(np.float32)
+    code = rng.normal(0, 0.5, (b, cfg.d_model, t)).astype(np.float32)
+    buckets = jnp.asarray(relative_position_buckets(
+        t, cfg.rel_pos_buckets, cfg.rel_pos_max_distance))
+
+    ref = np.asarray(dm.denoise(params, cfg, jnp.asarray(x),
+                                jnp.asarray(code), jnp.int32(100), buckets))
+
+    mesh = make_mesh(8, shape=(4, 2))
+    sp = shard_tree(params, diffusion_param_specs(mesh))
+    # the heavy per-layer weights must actually be distributed, not
+    # replicated
+    assert not sp["layers"]["attn_qkv_w"].sharding.is_fully_replicated
+    assert not sp["layers"]["res_in_conv_w"].sharding.is_fully_replicated
+
+    @jax.jit
+    def fn(p, x, c):
+        return dm.denoise(p, cfg, x, c, jnp.int32(100), buckets)
+
+    with mesh:
+        out = fn(sp, jax.device_put(x, batch_spec(mesh, 3)),
+                 jax.device_put(code, batch_spec(mesh, 3)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_tp_sharded_latent_conditioner_matches():
+    from tortoise_tpu.config import tiny_diffusion_config
+    from tortoise_tpu.io.checkpoint import random_diffusion_params
+    from tortoise_tpu.models import diffusion as dm
+    from tortoise_tpu.ops.relpos import relative_position_buckets
+    from tortoise_tpu.parallel import diffusion_param_specs
+
+    cfg = tiny_diffusion_config()
+    params = random_diffusion_params(cfg, seed=3)
+    rng = np.random.default_rng(6)
+    b, l = 4, 8
+    lat = rng.normal(0, 0.5, (b, l, cfg.d_model)).astype(np.float32)
+    buckets = jnp.asarray(relative_position_buckets(
+        l, cfg.rel_pos_buckets, cfg.rel_pos_max_distance))
+
+    ref = np.asarray(dm.latent_conditioner(params, cfg, jnp.asarray(lat),
+                                           buckets))
+    mesh = make_mesh(8, shape=(4, 2))
+    sp = shard_tree(params, diffusion_param_specs(mesh))
+
+    @jax.jit
+    def fn(p, lat):
+        return dm.latent_conditioner(p, cfg, lat, buckets)
+
+    with mesh:
+        out = fn(sp, jax.device_put(lat, batch_spec(mesh, 3)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_tp_sharded_vocoder_matches():
+    from tortoise_tpu.config import tiny_vocoder_config
+    from tortoise_tpu.io.checkpoint import random_vocoder_params
+    from tortoise_tpu.models import vocoder as vm
+    from tortoise_tpu.parallel import vocoder_param_specs
+
+    cfg = tiny_vocoder_config()
+    params = random_vocoder_params(cfg, seed=4)
+    rng = np.random.default_rng(7)
+    b, m = 4, 12
+    mel = rng.normal(0, 1, (b, cfg.n_mel, m)).astype(np.float32)
+    noise = rng.normal(0, 1, (b, cfg.noise_ch, m)).astype(np.float32)
+
+    ref = np.asarray(vm.vocoder_forward(params, cfg, jnp.asarray(mel),
+                                        jnp.asarray(noise)))
+    mesh = make_mesh(8, shape=(4, 2))
+    sp = shard_tree(params, vocoder_param_specs(mesh,
+                                                n_stages=len(cfg.strides)))
+    assert not sp["stages"][0]["kp_kernel_w"].sharding.is_fully_replicated
+
+    @jax.jit
+    def fn(p, mel, noise):
+        return vm.vocoder_forward(p, cfg, mel, noise)
+
+    with mesh:
+        out = fn(sp, jax.device_put(mel, batch_spec(mesh, 3)),
+                 jax.device_put(noise, batch_spec(mesh, 3)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
