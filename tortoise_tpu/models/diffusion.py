@@ -78,7 +78,7 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
             q.astype(kdt), k.swapaxes(-1, -2).astype(kdt), v.astype(kdt),
             None, kv_valid, bias_table=rel_w, bias_formula=True,
             bias_max_distance=cfg.rel_pos_max_distance,
-            bq=256, bk=256,  # measured: 256-tiles hide the mask/bias cost
+            bq=128, bk=128,  # measured: 128 q-rows/program wins (r2 ubench)
             interpret=jax.default_backend() != "tpu",
         )
     else:

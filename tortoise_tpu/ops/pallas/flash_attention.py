@@ -89,47 +89,50 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
     out_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
 
 
-def _attn_kernel_grouped(q_ref, k_ref, v_ref, band_ref, scal_ref, mask_ref,
-                         out_ref, *, bq: int, bk: int, t_kv: int,
-                         n_heads: int, have_mask: bool):
-    """Production diffusion attention: non-causal, T5 band bias, G heads
-    per program so k/v stream from HBM once per batch row instead of once
-    per head. Bias: tiles with block diagonal |d| <= 1 come from the
-    precomputed band, all others are a per-head constant."""
+def _attn_kernel_rowblock(q_ref, k_ref, v_ref, band_ref, scal_ref, mask_ref,
+                          out_ref, s_ref, *, bq: int, t_kv: int,
+                          n_heads: int, have_mask: bool):
+    """Production diffusion attention: non-causal, T5 band bias.
+
+    The whole KV axis for a head fits VMEM at these shapes (~0.6 MB), so
+    instead of the classic online-softmax recurrence over (BQ, BK) tiles —
+    which is VPU/loop-overhead bound at ~6% MFU (profiled r2) — each
+    program computes the FULL (BQ, T_kv) score row-block with one MXU call,
+    one exact softmax pass, and one P@V matmul. The T5 bias is Toeplitz and
+    saturates for |j-i| >= max_distance, so it collapses to a per-head
+    (BQ, 3*BQ) band patch around the diagonal plus two far constants.
+
+    s_ref: (BQ, T_kv + 2*BQ) f32 scratch. The band patch always lands at
+    columns [qi*BQ, qi*BQ + 3BQ) of the padded scratch (key j lives at
+    column j + BQ), so edge query blocks write their out-of-range band
+    thirds into the never-read pad margins instead of branching."""
     qi = pl.program_id(2)
     hg = pl.program_id(1)
-    n_kv = t_kv // bk
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t_kv), 1)
 
     for g in range(n_heads):
         q = q_ref[0, g]                       # (BQ, D) native dtype
+        k = k_ref[0, g]                       # (T_kv, D)
+        v = v_ref[0, g]
         c_l = scal_ref[hg * n_heads + g, 0]   # full (H, 2) array in SMEM
         c_r = scal_ref[hg * n_heads + g, 1]
-
-        def body(j, carry):
-            m, l, acc = carry
-            k = k_ref[0, g, pl.ds(j * bk, bk), :]
-            v = v_ref[0, g, pl.ds(j * bk, bk), :]
-            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-            db = j - qi
-            tile = band_ref[0, g, jnp.clip(db + 1, 0, 2)]
-            scalar = jnp.where(db < 0, c_l, c_r)
-            s = s + jnp.where(jnp.abs(db) <= 1, tile, scalar)
-            if have_mask:
-                valid = mask_ref[0, 0, pl.ds(j * bk, bk)]
-                s = jnp.where(valid[None, :], s, NEG_INF)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
-            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
-                                        preferred_element_type=jnp.float32)
-            return m_new, l, acc
-
-        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((bq, 1), jnp.float32)
-        acc0 = jnp.zeros((bq, q_ref.shape[-1]), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
-        out_ref[0, g] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        # far-field bias: constant left/right of the 3-block band
+        fill = jnp.where(
+            cols < (qi - 1) * bq, c_l,
+            jnp.where(cols >= (qi + 2) * bq, c_r, 0.0))
+        s_ref[:, bq : bq + t_kv] = s + fill
+        s_ref[:, pl.ds(qi * bq, 3 * bq)] += band_ref[g]
+        s = s_ref[:, bq : bq + t_kv]
+        if have_mask:
+            valid = mask_ref[0, 0]
+            s = jnp.where(valid[None, :], s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jnp.dot(p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+        out_ref[0, g] = (ctx / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
 
 
 def _grouped_flash(qp, kp, vp, band, scalars, maskp, *, bq, bk, tq, tkv,
@@ -139,17 +142,19 @@ def _grouped_flash(qp, kp, vp, band, scalars, maskp, *, bq, bk, tq, tkv,
     b, h = qp.shape[0], qp.shape[1]
     d = qp.shape[-1]
     grid = (b, h // group, tq // bq)
+    # band arrives (H, 3, bq, bq) for diagonals d in {-1, 0, 1}; the kernel
+    # wants the row-block patch (H, bq, 3*bq)
+    band_cat = band.swapaxes(1, 2).reshape(h, bq, 3 * bq)
     in_specs = [
         pl.BlockSpec((1, group, bq, d), lambda bi, hg, qi: (bi, hg, qi, 0)),
         pl.BlockSpec((1, group, tkv, d), lambda bi, hg, qi: (bi, hg, 0, 0)),
         pl.BlockSpec((1, group, tkv, d), lambda bi, hg, qi: (bi, hg, 0, 0)),
-        pl.BlockSpec((1, group, 3, bq, bk),
-                     lambda bi, hg, qi: (0, hg, 0, 0, 0)),
+        pl.BlockSpec((group, bq, 3 * bq), lambda bi, hg, qi: (hg, 0, 0)),
         # full (H, 2) array: SMEM blocks must cover whole dims
         pl.BlockSpec((h, 2), lambda bi, hg, qi: (0, 0),
                      memory_space=pltpu.SMEM),
     ]
-    args = [qp, kp, vp, band[None], scalars]
+    args = [qp, kp, vp, band_cat, scalars]
     have_mask = maskp is not None
     if have_mask:
         in_specs.append(
@@ -157,15 +162,15 @@ def _grouped_flash(qp, kp, vp, band, scalars, maskp, *, bq, bk, tq, tkv,
         args.append(maskp)
 
         def kern(q_ref, k_ref, v_ref, band_ref, scal_ref, mask_ref,
-                 out_ref):
-            _attn_kernel_grouped(q_ref, k_ref, v_ref, band_ref, scal_ref,
-                                 mask_ref, out_ref, bq=bq, bk=bk,
-                                 t_kv=tkv, n_heads=group, have_mask=True)
+                 out_ref, s_ref):
+            _attn_kernel_rowblock(q_ref, k_ref, v_ref, band_ref, scal_ref,
+                                  mask_ref, out_ref, s_ref, bq=bq,
+                                  t_kv=tkv, n_heads=group, have_mask=True)
     else:
-        def kern(q_ref, k_ref, v_ref, band_ref, scal_ref, out_ref):
-            _attn_kernel_grouped(q_ref, k_ref, v_ref, band_ref, scal_ref,
-                                 None, out_ref, bq=bq, bk=bk, t_kv=tkv,
-                                 n_heads=group, have_mask=False)
+        def kern(q_ref, k_ref, v_ref, band_ref, scal_ref, out_ref, s_ref):
+            _attn_kernel_rowblock(q_ref, k_ref, v_ref, band_ref, scal_ref,
+                                  None, out_ref, s_ref, bq=bq, t_kv=tkv,
+                                  n_heads=group, have_mask=False)
 
     return pl.pallas_call(
         kern,
@@ -174,6 +179,7 @@ def _grouped_flash(qp, kp, vp, band, scalars, maskp, *, bq, bk, tq, tkv,
         out_specs=pl.BlockSpec((1, group, bq, d),
                                lambda bi, hg, qi: (bi, hg, qi, 0)),
         out_shape=jax.ShapeDtypeStruct(qp.shape, qp.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, tkv + 2 * bq), jnp.float32)],
         interpret=interpret,
     )(*args)
 
@@ -251,7 +257,10 @@ def flash_attention(
         # off-band bias tiles collapse to per-head constants
         from tortoise_tpu.ops.relpos import relpos_bias_band
 
-        group = 4 if h % 4 == 0 else (2 if h % 2 == 0 else 1)
+        # VMEM budget: k/v + band patch + score scratch per program is
+        # ~4.4 MB/head-pair at T~2300; group=2 keeps the double-buffered
+        # total under ~9 MB (group=4 brushes the 16 MB ceiling)
+        group = 2 if h % 2 == 0 else 1
         band, scalars = relpos_bias_band(
             bias_table, bq, scale=bias_scale,
             num_buckets=bias_table.shape[0],

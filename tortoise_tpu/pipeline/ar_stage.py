@@ -123,7 +123,6 @@ def _decode_jit(params, cfg, cache, tokens, step, compute_dtype=None,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "qkv_f16", "max_steps"),
-    donate_argnames=("cache",),
 )
 def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
                   max_steps: int, compute_dtype=None, qkv_f16=False):
