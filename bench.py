@@ -95,8 +95,83 @@ def main() -> int:
         "device": device,
         "bf16": use_bf16,
     }
+    line.update(roofline_stats(models, result, use_bf16))
+
+    # batched serving path: aggregate RTF per chip for B utterances decoded
+    # together (the repo's headline TPU feature)
+    if not small and os.environ.get("BENCH_BATCH", "1") == "1":
+        from tortoise_tpu.pipeline.synthesize import synthesize_batch
+
+        bsz = int(os.environ.get("BENCH_BATCH_B", "4"))
+        tlists = [
+            [255] + rng.integers(
+                3, models.ar_cfg.n_text_vocab, size=18 + 3 * i
+            ).tolist() + [0]
+            for i in range(bsz)
+        ]
+
+        def run_batch(seed):
+            t0 = time.monotonic()
+            rs = synthesize_batch(models, tokens_list=tlists, voices=voice,
+                                  seed=seed, compute_dtype=compute_dtype)
+            return rs, time.monotonic() - t0
+
+        _, bcompile = run_batch(0)  # warmup/compile
+        rs, bwall = run_batch(1)
+        btotal = sum(len(r.audio) / r.sample_rate for r in rs)
+        line["batched"] = {
+            "batch": bsz,
+            "wall_s": round(bwall, 3),
+            "audio_s_total": round(btotal, 3),
+            "aggregate_rtf": round(bwall / max(btotal, 1e-9), 5),
+            "first_run_s": round(bcompile, 3),
+            "stages_s": {k: round(v, 3) for k, v in rs[0].timings.items()},
+        }
+
     print(json.dumps(line))
     return 0
+
+
+# v5e per-chip peaks (jax-ml.github.io/scaling-book numbers)
+HBM_GBPS = 819e9
+BF16_FLOPS = 197e12
+F32_FLOPS = 49e12
+
+
+def roofline_stats(models, result, use_bf16: bool) -> dict:
+    """ms/step + roofline shares for the two hot stages.
+
+    AR decode is weight-streaming (HBM) bound: one step must read every
+    matmul weight once; % of roofline = streaming-time / measured-time.
+    Diffusion is MXU bound: analytic matmul FLOPs per CFG eval / peak.
+    """
+    import numpy as np
+
+    acfg, dcfg = models.ar_cfg, models.diffusion_cfg
+    wbytes = 2 if use_bf16 else 4  # matmul weights are cast to bf16
+    d = acfg.d_model
+    per_layer = d * 3 * d + d * d + d * 4 * d + 4 * d * d
+    ar_bytes = (acfg.n_layer * per_layer + acfg.n_mel_vocab * d) * wbytes
+    n_steps = max(len(result.sequences[0]), 1)
+    ar_ms = result.timings["autoregressive_s"] * 1e3 / n_steps
+    ar_floor_ms = ar_bytes / HBM_GBPS * 1e3
+
+    t = result.mel.shape[-1]
+    dd, hh = dcfg.d_model, dcfg.n_head
+    res_flops = 2 * t * (dd * dd + 3 * dd * dd)        # k1 + k3 convs
+    attn_flops = 2 * t * (dd * 3 * dd + dd * dd) + 4 * t * t * dd
+    n_attn = dcfg.n_main_layers + dcfg.n_integrator_layers
+    n_res = n_attn + dcfg.n_tail_resblocks
+    eval_flops = 2 * (n_res * res_flops + n_attn * attn_flops)  # CFG batch 2
+    diff_s = result.timings["diffusion_s"] / dcfg.n_sample_timesteps
+    peak = BF16_FLOPS if use_bf16 else F32_FLOPS
+    return {
+        "ar_ms_per_step": round(ar_ms, 3),
+        "ar_hbm_roofline_pct": round(100 * ar_floor_ms / max(ar_ms, 1e-9), 1),
+        "diffusion_ms_per_cfg_step": round(diff_s * 1e3, 2),
+        "diffusion_mfu_pct": round(
+            100 * eval_flops / max(diff_s, 1e-9) / peak, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -32,6 +32,13 @@ Architecture (tensor names from diffusion_model_load, main.cpp:1497-1634):
 
 Weight orientation: conv weights (out, in, k); linear weights (out, in)
 used as x @ W.T — as delivered by io/ggml.py + io/checkpoint.py.
+
+Internal activation layout is TIME-MAJOR (B, T, C) — every hot op is a
+(B*T, C) matmul, XLA:TPU wants channels minor-most for those and for NWC
+convs, and the channels-first formulation paid a measured ~7 ms/eval in
+relayout fusions (r2 profile). The public entry points (`denoise`,
+`code_embeddings`) keep the reference-shaped (B, C, T) views at the
+boundary.
 """
 
 from __future__ import annotations
@@ -42,8 +49,8 @@ import jax
 import jax.numpy as jnp
 
 from tortoise_tpu.config import DiffusionConfig
-from tortoise_tpu.ops.basic import group_norm, pdot, silu
-from tortoise_tpu.ops.conv import conv1d, nearest_upscale_time
+from tortoise_tpu.ops.basic import group_norm_tc, pdot, silu
+from tortoise_tpu.ops.conv import conv1d_nwc
 from tortoise_tpu.ops.relpos import relpos_bias
 
 NEG_INF = -1e30
@@ -55,18 +62,19 @@ def _linear(x, w, b, compute_dtype=None):
 
 def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
                mask=None, compute_dtype=None):
-    """Rel-pos attention block over (B, C, T). mask: (B, T) bool or None."""
-    b, c, t = x.shape
+    """Rel-pos attention block over (B, T, C). mask: (B, T) bool or None."""
+    b, t, c = x.shape
     h, dh = cfg.n_head, cfg.d_head
-    y = group_norm(x, cfg.n_groups, block["attn_norm_w"],
-                   block["attn_norm_b"], cfg.gn_eps,
-                   mask=None if mask is None else mask[:, None, :])
-    qkv = pdot(y.swapaxes(1, 2), block["attn_qkv_w"].T, compute_dtype)
-    qkv = (qkv + block["attn_qkv_b"]).swapaxes(1, 2)  # (B, 3C, T)
-    qkv = qkv.reshape(b, h, 3, dh, t)
-    q = qkv[:, :, 0].swapaxes(-1, -2)  # (B, H, T, Dh)
-    k = qkv[:, :, 1]                   # (B, H, Dh, T)
-    v = qkv[:, :, 2].swapaxes(-1, -2)  # (B, H, T, Dh)
+    y = group_norm_tc(x, cfg.n_groups, block["attn_norm_w"],
+                      block["attn_norm_b"], cfg.gn_eps, mask=mask)
+    qkv = pdot(y, block["attn_qkv_w"].T, compute_dtype) \
+        + block["attn_qkv_b"]                       # (B, T, 3C)
+    # channel c = head*192 + part*64 + d (per-head-interleaved qkv,
+    # upstream QKVAttentionLegacy; main.cpp:3229-3245)
+    qkv = qkv.reshape(b, t, h, 3, dh)
+    q = qkv[:, :, :, 0].transpose(0, 2, 1, 3)  # (B, H, T, Dh)
+    k = qkv[:, :, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, :, 2].transpose(0, 2, 1, 3)
     if cfg.use_flash:
         from tortoise_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -75,49 +83,50 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
             kv_valid = jnp.broadcast_to(mask, (b, t))
         kdt = compute_dtype or q.dtype  # halve the kernel's q/k/v streaming
         ctx = flash_attention(
-            q.astype(kdt), k.swapaxes(-1, -2).astype(kdt), v.astype(kdt),
+            q.astype(kdt), k.astype(kdt), v.astype(kdt),
             None, kv_valid, bias_table=rel_w, bias_formula=True,
             bias_max_distance=cfg.rel_pos_max_distance,
             bq=128, bk=128,  # measured: 128 q-rows/program wins (r2 ubench)
             interpret=jax.default_backend() != "tpu",
         )
     else:
-        scores = pdot(q, k, compute_dtype) / jnp.sqrt(jnp.float32(dh))
+        scores = pdot(q, k.swapaxes(-1, -2), compute_dtype) / jnp.sqrt(
+            jnp.float32(dh))
         scores = scores + relpos_bias(rel_w, buckets)[None]
         if mask is not None:
             scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         ctx = pdot(probs.astype(q.dtype), v, compute_dtype)  # (B, H, T, Dh)
-    merged = ctx.swapaxes(1, 2).reshape(b, t, h * dh)
+    merged = ctx.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
     out = _linear(merged, block["attn_proj_w"], block["attn_proj_b"],
-                  compute_dtype).swapaxes(1, 2)
+                  compute_dtype)
     return x + out.astype(x.dtype)
 
 
 def _resblock(block, x, time_emb, cfg: DiffusionConfig, prefix="res_",
               mask=None, compute_dtype=None):
-    """FiLM resblock over (B, C, T); time_emb (B, C)."""
-    gmask = None if mask is None else mask[:, None, :]
-    y = group_norm(x, cfg.n_groups, block[prefix + "in_norm_w"],
-                   block[prefix + "in_norm_b"], cfg.gn_eps, mask=gmask)
+    """FiLM resblock over (B, T, C); time_emb (B, C)."""
+    y = group_norm_tc(x, cfg.n_groups, block[prefix + "in_norm_w"],
+                      block[prefix + "in_norm_b"], cfg.gn_eps, mask=mask)
     y = silu(y)
-    y = pdot(y.swapaxes(1, 2), block[prefix + "in_conv_w"].T, compute_dtype)
-    y = (y + block[prefix + "in_conv_b"]).swapaxes(1, 2)
+    y = pdot(y, block[prefix + "in_conv_w"].T, compute_dtype) \
+        + block[prefix + "in_conv_b"]
     emb = _linear(silu(time_emb), block[prefix + "emb_w"],
                   block[prefix + "emb_b"], compute_dtype)  # (B, 2C)
     scale, shift = jnp.split(emb, 2, axis=-1)
-    y = group_norm(y, cfg.n_groups, block[prefix + "out_norm_w"],
-                   block[prefix + "out_norm_b"], cfg.gn_eps, mask=gmask)
-    y = y * (1.0 + scale)[:, :, None] + shift[:, :, None]
+    y = group_norm_tc(y, cfg.n_groups, block[prefix + "out_norm_w"],
+                      block[prefix + "out_norm_b"], cfg.gn_eps, mask=mask)
+    y = y * (1.0 + scale)[:, None, :] + shift[:, None, :]
     y = silu(y)
     if mask is not None:
         # the FiLM shift is nonzero on padded frames; zero them before the
         # k3 conv or they leak into the last valid frame
-        y = jnp.where(mask[:, None, :], y, 0.0)
-    y = conv1d(y, block[prefix + "out_conv_w"], block[prefix + "out_conv_b"],
-               padding=1, compute_dtype=compute_dtype)
+        y = jnp.where(mask[:, :, None], y, 0.0)
+    y = conv1d_nwc(y, block[prefix + "out_conv_w"],
+                   block[prefix + "out_conv_b"], padding=1,
+                   compute_dtype=compute_dtype)
     if mask is not None:
-        y = jnp.where(mask[:, None, :], y, 0.0)
+        y = jnp.where(mask[:, :, None], y, 0.0)
     return x + y.astype(x.dtype)
 
 
@@ -130,23 +139,22 @@ def _diffusion_layer(layer, x, time_emb, buckets, cfg, mask, compute_dtype):
 def latent_conditioner(params, cfg: DiffusionConfig, latents: jax.Array,
                        lat_buckets: jax.Array, lat_mask=None,
                        compute_dtype=None) -> jax.Array:
-    """AR latents (B, L, 1024) -> conditioned code embedding (B, 1024, L).
-    lat_buckets: (L, L) rel-pos buckets; lat_mask: (B, L) or None."""
-    x = latents.swapaxes(1, 2)  # (B, 1024, L)
+    """AR latents (B, L, 1024) -> conditioned code embedding (B, L, 1024)
+    time-major. lat_buckets: (L, L) rel-pos buckets; lat_mask: (B, L)."""
+    x = latents
     if lat_mask is not None:
-        x = jnp.where(lat_mask[:, None, :], x, 0.0)
-    x = conv1d(x, params["latent_conv_w"], params["latent_conv_b"],
-               padding=1, compute_dtype=compute_dtype)
+        x = jnp.where(lat_mask[:, :, None], x, 0.0)
+    x = conv1d_nwc(x, params["latent_conv_w"], params["latent_conv_b"],
+                   padding=1, compute_dtype=compute_dtype)
 
     def step(x, block):
         return _attention(block, x, block["attn_rel_w"], lat_buckets, cfg,
                           lat_mask, compute_dtype), None
 
     x, _ = jax.lax.scan(step, x, params["latent_blocks"])
-    x = group_norm(x, cfg.n_groups, params["code_norm_w"],
-                   params["code_norm_b"], cfg.gn_eps,
-                   mask=None if lat_mask is None else lat_mask[:, None, :])
-    x = x * (1.0 + params["cond_scale"])[:, None] + params["cond_shift"][:, None]
+    x = group_norm_tc(x, cfg.n_groups, params["code_norm_w"],
+                      params["code_norm_b"], cfg.gn_eps, mask=lat_mask)
+    x = x * (1.0 + params["cond_scale"]) + params["cond_shift"]
     return x
 
 
@@ -172,13 +180,13 @@ def integrate_code(params, cfg: DiffusionConfig, code_emb, time_emb,
 
 def trunk(params, cfg: DiffusionConfig, noisy_mel, code_emb, time_emb,
           out_buckets, mask=None, compute_dtype=None):
-    """Noisy mel (B, 100, T) + integrated code emb (B, 1024, T) ->
-    (B, 200, T) [means | var fracs] (main.cpp:3611-4044)."""
-    x = conv1d(noisy_mel, params["inp_w"], params["inp_b"], padding=1,
-               compute_dtype=compute_dtype)
-    x = jnp.concatenate([x, code_emb], axis=1)  # (B, 2048, T)
-    x = pdot(x.swapaxes(1, 2), params["integrating_w"].T, compute_dtype)
-    x = (x + params["integrating_b"]).swapaxes(1, 2)
+    """Noisy mel (B, T, 100) + integrated code emb (B, T, 1024) ->
+    (B, T, 200) [means | var fracs], all time-major (main.cpp:3611-4044)."""
+    x = conv1d_nwc(noisy_mel, params["inp_w"], params["inp_b"], padding=1,
+                   compute_dtype=compute_dtype)
+    x = jnp.concatenate([x, code_emb], axis=-1)  # (B, T, 2048)
+    x = pdot(x, params["integrating_w"].T, compute_dtype) \
+        + params["integrating_b"]
 
     def main_step(x, layer):
         return _diffusion_layer(layer, x, time_emb, out_buckets, cfg, mask,
@@ -192,14 +200,13 @@ def trunk(params, cfg: DiffusionConfig, noisy_mel, code_emb, time_emb,
 
     x, _ = jax.lax.scan(tail_step, x, params["tail"])
 
-    gmask = None if mask is None else mask[:, None, :]
-    x = group_norm(x, cfg.n_groups, params["out_norm_w"],
-                   params["out_norm_b"], cfg.gn_eps, mask=gmask)
+    x = group_norm_tc(x, cfg.n_groups, params["out_norm_w"],
+                      params["out_norm_b"], cfg.gn_eps, mask=mask)
     x = silu(x)
-    x = conv1d(x, params["out_w"], params["out_b"], padding=1,
-               compute_dtype=compute_dtype)
+    x = conv1d_nwc(x, params["out_w"], params["out_b"], padding=1,
+                   compute_dtype=compute_dtype)
     if mask is not None:
-        x = jnp.where(mask[:, None, :], x, 0.0)
+        x = jnp.where(mask[:, :, None], x, 0.0)
     return x
 
 
@@ -215,9 +222,10 @@ def code_embeddings(params, cfg: DiffusionConfig, latents, lat_buckets,
     out_len_pad is the static padded length; lat_len/out_len are the true
     (possibly traced) lengths used for the nearest-upscale indices."""
     cond = latent_conditioner(params, cfg, latents, lat_buckets, lat_mask,
-                              compute_dtype)
+                              compute_dtype)  # (B, L, C) time-major
     if lat_len is None:
-        up = nearest_upscale_time(cond, out_len_pad)
+        idx = (jnp.arange(out_len_pad) * cond.shape[1]) // out_len_pad
+        up = jnp.take(cond, idx, axis=1)
     else:
         # bucketed: nearest indices computed from the true lengths
         # (scalars or per-row (B,) for batched serving)
@@ -227,7 +235,7 @@ def code_embeddings(params, cfg: DiffusionConfig, latents, lat_buckets,
             idx = (jnp.arange(out_len_pad) * lat_len) // jnp.maximum(
                 out_len, 1)
             idx = jnp.clip(idx, 0, jnp.maximum(lat_len - 1, 0))
-            up = jnp.take(cond, idx, axis=-1)
+            up = jnp.take(cond, idx, axis=1)
         else:
             b = cond.shape[0]
             lat_len = jnp.broadcast_to(lat_len, (b,))
@@ -236,13 +244,14 @@ def code_embeddings(params, cfg: DiffusionConfig, latents, lat_buckets,
                 // jnp.maximum(out_len[:, None], 1)
             idx = jnp.clip(idx, 0, jnp.maximum(lat_len[:, None] - 1, 0))
             up = jnp.take_along_axis(
-                cond, jnp.broadcast_to(idx[:, None, :],
-                                       cond.shape[:-1] + (out_len_pad,)),
-                axis=-1)
+                cond, jnp.broadcast_to(
+                    idx[:, :, None],
+                    (b, out_len_pad) + cond.shape[-1:]), axis=1)
     uncond = jnp.broadcast_to(
-        params["uncond"][None, :, None], up.shape
+        params["uncond"][None, None, :], up.shape
     ).astype(up.dtype)
-    return up, uncond
+    # reference-shaped (B, C, T) view at the public boundary
+    return up.swapaxes(1, 2), uncond.swapaxes(1, 2)
 
 
 def denoise(params, cfg: DiffusionConfig, x, code_emb, t_orig,
@@ -269,7 +278,9 @@ def denoise(params, cfg: DiffusionConfig, x, code_emb, t_orig,
         x = x.astype(compute_dtype)
         code_emb = code_emb.astype(compute_dtype)
         time_emb = time_emb.astype(compute_dtype)
-    code = integrate_code(params, cfg, code_emb, time_emb, out_buckets, mask,
-                          compute_dtype)
-    return trunk(params, cfg, x, code, time_emb, out_buckets, mask,
-                 compute_dtype).astype(jnp.float32)
+    # time-major internals; (B, C, T) only at this boundary
+    code = integrate_code(params, cfg, code_emb.swapaxes(1, 2), time_emb,
+                          out_buckets, mask, compute_dtype)
+    out = trunk(params, cfg, x.swapaxes(1, 2), code, time_emb, out_buckets,
+                mask, compute_dtype)
+    return out.swapaxes(1, 2).astype(jnp.float32)

@@ -105,6 +105,41 @@ def group_norm(x, n_groups: int, w=None, b=None, eps: float = 1e-5,
     return out.astype(x.dtype)
 
 
+def group_norm_tc(x, n_groups: int, w=None, b=None, eps: float = 1e-5,
+                  mask=None):
+    """GroupNorm over time-major (..., T, C) feature maps — the layout the
+    TPU denoiser carries activations in (matmuls want (B*T, C); keeping C
+    minor-most avoids a relayout per matmul). Statistics are identical to
+    ``group_norm`` on the transposed input: per group of C/n_groups
+    channels, reduced over (T, group channels). ``mask``: (..., T) bool.
+    """
+    *lead, t, c = x.shape
+    xf = x.astype(jnp.float32).reshape(*lead, t, n_groups, c // n_groups)
+    if mask is None:
+        mean = jnp.mean(xf, axis=(-3, -1), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(-3, -1), keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    else:
+        m = jnp.broadcast_to(mask, (*lead, t)).reshape(*lead, t, 1, 1)
+        xf = jnp.where(m, xf, 0.0)
+        n = jnp.maximum(jnp.sum(m, axis=(-3, -1), keepdims=True), 1) * (
+            c // n_groups
+        )
+        mean = jnp.sum(xf, axis=(-3, -1), keepdims=True) / n
+        d = jnp.where(m, xf - mean, 0.0)
+        var = jnp.sum(d * d, axis=(-3, -1), keepdims=True) / n
+        out = d * jax.lax.rsqrt(var + eps)
+    out = out.reshape(*lead, t, c)
+    if w is not None:
+        out = out * w
+    if b is not None:
+        out = out + b
+    if mask is not None:
+        out = jnp.where(
+            jnp.broadcast_to(mask, (*lead, t))[..., None], out, 0.0)
+    return out.astype(x.dtype)
+
+
 def gelu(x):
     return jax.nn.gelu(x, approximate=True)
 

@@ -38,6 +38,33 @@ def conv1d(x, w, b=None, stride: int = 1, padding: int = 0,
     return out
 
 
+def conv1d_nwc(x, w, b=None, stride: int = 1, padding: int = 0,
+               dilation: int = 1, groups: int = 1, compute_dtype=None):
+    """Time-major conv: x (N, T, C_in); w (C_out, C_in/groups, K) — same
+    torch-oriented weights as ``conv1d`` — returns (N, T', C_out). NWC is
+    the layout XLA:TPU prefers; the channels-first wrapper forces a
+    relayout per call."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        precision = None
+    else:
+        precision = jax.lax.Precision.HIGHEST
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "OIW", "NWC"),
+        feature_group_count=groups,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
 def conv_transpose1d(x, w, b=None, stride: int = 1, compute_dtype=None):
     """Transposed conv matching torch ConvTranspose1d (and the reference's
     ggml_conv_transpose_1d, main.cpp:4155): w (C_in, C_out, K),

@@ -172,6 +172,12 @@ def _grouped_flash(qp, kp, vp, band, scalars, maskp, *, bq, bk, tq, tkv,
                                   None, out_ref, s_ref, bq=bq, t_kv=tkv,
                                   n_heads=group, have_mask=False)
 
+    import os
+
+    params = {}
+    if os.environ.get("FLASH_VMEM_MB"):
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(os.environ["FLASH_VMEM_MB"]) * 2**20)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -181,6 +187,7 @@ def _grouped_flash(qp, kp, vp, band, scalars, maskp, *, bq, bk, tq, tkv,
         out_shape=jax.ShapeDtypeStruct(qp.shape, qp.dtype),
         scratch_shapes=[pltpu.VMEM((bq, tkv + 2 * bq), jnp.float32)],
         interpret=interpret,
+        **params,
     )(*args)
 
 
@@ -260,7 +267,11 @@ def flash_attention(
         # VMEM budget: k/v + band patch + score scratch per program is
         # ~4.4 MB/head-pair at T~2300; group=2 keeps the double-buffered
         # total under ~9 MB (group=4 brushes the 16 MB ceiling)
-        group = 2 if h % 2 == 0 else 1
+        import os
+
+        group = int(os.environ.get("FLASH_GROUP", "2"))
+        while h % group:
+            group //= 2
         band, scalars = relpos_bias_band(
             bias_table, bq, scale=bias_scale,
             num_buckets=bias_table.shape[0],
