@@ -40,6 +40,35 @@ def make_loop(**kw):
     return loop
 
 
+def make_loop_producer(fresh="qkv", **kw):
+    """Mimic the in-context call: q/k/v come from a fused qkv matmul +
+    reshape/transpose each iteration, like models/diffusion._attention.
+    fresh="q": only q is produced in-loop, k/v are loop-invariant."""
+    @jax.jit
+    def loop(x, w, k0, v0, mask, table):
+        b, t, c = x.shape
+        h, dh = H, D
+
+        def body(x, _):
+            qkv = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+            qkv = qkv.astype(x.dtype).reshape(b, t, h, 3, dh)
+            q = qkv[:, :, :, 0].transpose(0, 2, 1, 3)
+            if fresh == "qkv":
+                k = qkv[:, :, :, 1].transpose(0, 2, 1, 3)
+                v = qkv[:, :, :, 2].transpose(0, 2, 1, 3)
+            else:
+                k, v = k0, v0
+            out = flash_attention(q, k, v, None, mask, bias_table=table,
+                                  bias_formula=True, **kw)
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+            return x * 0.5 + out.astype(x.dtype) * 0.5, None
+
+        x, _ = jax.lax.scan(body, x, None, length=N)
+        return x
+
+    return loop
+
+
 def device_profile(fn, *args, outdir):
     os.system(f"rm -rf {outdir}")
     out = fn(*args)
@@ -75,6 +104,15 @@ def main():
     v = jnp.asarray(rng.normal(0, 1, (B, H, T, D)), jnp.bfloat16)
     table = jnp.asarray(rng.normal(0, 0.1, (32, H)), jnp.float32)
     mask = jnp.ones((B, T), bool)
+
+    xw = jnp.asarray(rng.normal(0, 1, (B, T, H * D)), jnp.bfloat16)
+    w3 = jnp.asarray(rng.normal(0, 0.03, (H * D, 3 * H * D)), jnp.bfloat16)
+    for fresh in ("qkv", "q"):
+        fnp = make_loop_producer(fresh=fresh, bq=128, bk=128)
+        ms, calls = device_profile(fnp, xw, w3, k, v, mask, table,
+                                   outdir=f"/tmp/jt_producer_{fresh}")
+        print(f"producer fresh={fresh}: {ms/max(calls,1):7.3f} ms/call "
+              f"({calls} calls)", flush=True)
 
     for label, kw, use_table, use_mask in (
         ("bias+mask bq128", dict(bq=128, bk=128), True, True),

@@ -119,6 +119,31 @@ def test_grouped_band_bias_path():
                                np.asarray(want)[:, :, :190], atol=2e-4)
 
 
+def test_packed_qkv_path():
+    """flash_attention_packed consumes the fused (B, T, 3HD) qkv tensor
+    with per-head-interleaved channels and must match XLA attention with
+    the materialized rel-pos bias."""
+    from tortoise_tpu.ops.pallas.flash_attention import flash_attention_packed
+    from tortoise_tpu.ops.relpos import relative_position_buckets, relpos_bias
+
+    b, h, t, d = 2, 2, 200, 64  # 6*D % 128 == 0: the packed-path contract
+    q, k, v = (rand((b, h, t, d), s) for s in (11, 12, 13))
+    table = rand((32, h), 14, 0.2)
+    valid = np.ones((b, t), bool)
+    valid[1, 170:] = False
+    qkv = jnp.concatenate(
+        [jnp.concatenate([q[:, hh], k[:, hh], v[:, hh]], axis=-1)
+         for hh in range(h)], axis=-1)  # (B, T, 3HD) interleaved
+    got = flash_attention_packed(qkv, h, jnp.asarray(valid),
+                                 bias_table=table, interpret=True)
+    buckets = jnp.asarray(relative_position_buckets(t))
+    bias = relpos_bias(table, buckets)
+    want = xla_attention(q, k, v, bias, jnp.asarray(valid))
+    want = jnp.swapaxes(want, 1, 2).reshape(b, t, h * d)
+    np.testing.assert_allclose(np.asarray(got, np.float32)[:, :170],
+                               np.asarray(want)[:, :170], atol=2e-4)
+
+
 def test_formula_blocks_path_small():
     """Small-T inputs take the generic precomputed-blocks path; it must
     agree with the materialized bias too."""

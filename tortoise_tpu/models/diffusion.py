@@ -71,25 +71,45 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
         + block["attn_qkv_b"]                       # (B, T, 3C)
     # channel c = head*192 + part*64 + d (per-head-interleaved qkv,
     # upstream QKVAttentionLegacy; main.cpp:3229-3245)
-    qkv = qkv.reshape(b, t, h, 3, dh)
-    q = qkv[:, :, :, 0].transpose(0, 2, 1, 3)  # (B, H, T, Dh)
-    k = qkv[:, :, :, 1].transpose(0, 2, 1, 3)
-    v = qkv[:, :, :, 2].transpose(0, 2, 1, 3)
-    if cfg.use_flash:
+    if cfg.use_flash and h % 2 == 0 and (6 * dh) % 128 == 0:
+        from tortoise_tpu.ops.pallas.flash_attention import (
+            flash_attention_packed,
+        )
+
+        kv_valid = None
+        if mask is not None:
+            kv_valid = jnp.broadcast_to(mask, (b, t))
+        kdt = compute_dtype or x.dtype  # halve the kernel's qkv streaming
+        # the packed kernel slices heads out of the fused qkv matmul output
+        # via its index maps — no (B,T,H,3,D)->(B,H,T,D) transposes, which
+        # doubled the custom-call time (scripts/ubench_flash_kernel.py)
+        merged = flash_attention_packed(
+            qkv.astype(kdt), h, kv_valid, bias_table=rel_w,
+            bias_max_distance=cfg.rel_pos_max_distance, bq=128,
+            interpret=jax.default_backend() != "tpu",
+        )
+    elif cfg.use_flash:
         from tortoise_tpu.ops.pallas.flash_attention import flash_attention
 
         kv_valid = None
         if mask is not None:
             kv_valid = jnp.broadcast_to(mask, (b, t))
-        kdt = compute_dtype or q.dtype  # halve the kernel's q/k/v streaming
+        kdt = compute_dtype or x.dtype
+        qkv5 = qkv.astype(kdt).reshape(b, t, h, 3, dh)
         ctx = flash_attention(
-            q.astype(kdt), k.astype(kdt), v.astype(kdt),
+            qkv5[:, :, :, 0].transpose(0, 2, 1, 3),
+            qkv5[:, :, :, 1].transpose(0, 2, 1, 3),
+            qkv5[:, :, :, 2].transpose(0, 2, 1, 3),
             None, kv_valid, bias_table=rel_w, bias_formula=True,
-            bias_max_distance=cfg.rel_pos_max_distance,
-            bq=128, bk=128,  # measured: 128 q-rows/program wins (r2 ubench)
+            bias_max_distance=cfg.rel_pos_max_distance, bq=128, bk=128,
             interpret=jax.default_backend() != "tpu",
         )
+        merged = ctx.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
     else:
+        qkv = qkv.reshape(b, t, h, 3, dh)
+        q = qkv[:, :, :, 0].transpose(0, 2, 1, 3)  # (B, H, T, Dh)
+        k = qkv[:, :, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, :, 2].transpose(0, 2, 1, 3)
         scores = pdot(q, k.swapaxes(-1, -2), compute_dtype) / jnp.sqrt(
             jnp.float32(dh))
         scores = scores + relpos_bias(rel_w, buckets)[None]
@@ -97,7 +117,7 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
             scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         ctx = pdot(probs.astype(q.dtype), v, compute_dtype)  # (B, H, T, Dh)
-    merged = ctx.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+        merged = ctx.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
     out = _linear(merged, block["attn_proj_w"], block["attn_proj_b"],
                   compute_dtype)
     return x + out.astype(x.dtype)
@@ -111,9 +131,11 @@ def _resblock(block, x, time_emb, cfg: DiffusionConfig, prefix="res_",
     y = silu(y)
     y = pdot(y, block[prefix + "in_conv_w"].T, compute_dtype) \
         + block[prefix + "in_conv_b"]
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)  # keep the FiLM chain off f32 traffic
     emb = _linear(silu(time_emb), block[prefix + "emb_w"],
                   block[prefix + "emb_b"], compute_dtype)  # (B, 2C)
-    scale, shift = jnp.split(emb, 2, axis=-1)
+    scale, shift = jnp.split(emb.astype(y.dtype), 2, axis=-1)
     y = group_norm_tc(y, cfg.n_groups, block[prefix + "out_norm_w"],
                       block[prefix + "out_norm_b"], cfg.gn_eps, mask=mask)
     y = y * (1.0 + scale)[:, None, :] + shift[:, None, :]
@@ -184,9 +206,15 @@ def trunk(params, cfg: DiffusionConfig, noisy_mel, code_emb, time_emb,
     (B, T, 200) [means | var fracs], all time-major (main.cpp:3611-4044)."""
     x = conv1d_nwc(noisy_mel, params["inp_w"], params["inp_b"], padding=1,
                    compute_dtype=compute_dtype)
-    x = jnp.concatenate([x, code_emb], axis=-1)  # (B, T, 2048)
+    x = jnp.concatenate([x, code_emb.astype(x.dtype)], axis=-1)
     x = pdot(x, params["integrating_w"].T, compute_dtype) \
         + params["integrating_b"]
+    if compute_dtype is not None:
+        # keep the residual carry in the compute dtype: pdot/conv return
+        # f32 accumulations, and an f32 carry doubles every elementwise
+        # pass through the 10 main layers (profiled r2: the while carry
+        # was f32[2,T,1024] despite bf16 mode)
+        x = x.astype(compute_dtype)
 
     def main_step(x, layer):
         return _diffusion_layer(layer, x, time_emb, out_buckets, cfg, mask,

@@ -191,6 +191,136 @@ def _grouped_flash(qp, kp, vp, band, scalars, maskp, *, bq, bk, tq, tkv,
     )(*args)
 
 
+def _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref, mask_ref,
+                        out_ref, s_ref, *, bq: int, t_kv: int, d: int,
+                        scale: float, have_mask: bool):
+    """Row-block kernel over head-sliced views of the packed (B, T, 3HD)
+    qkv tensor, TWO interleaved heads per program (Mosaic wants the last
+    block dim % 128 == 0; one head's 3D-wide strip is 192).
+
+    qrow_ref: (1, BQ, 6D) — this query block's [q0 k0 v0 q1 k1 v1];
+    kv_ref:   (1, T_kv, 6D) — the same columns over the full KV axis.
+    Same band-bias scheme as _attn_kernel_rowblock."""
+    qi = pl.program_id(2)
+    hg = pl.program_id(1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t_kv), 1)
+    for g in range(2):
+        # 1/sqrt(64) is a power of two: folding it into q in the input
+        # dtype is exact
+        q = qrow_ref[0][:, 3 * d * g : 3 * d * g + d] \
+            * jnp.asarray(scale, qrow_ref.dtype)
+        k = kv_ref[0][:, 3 * d * g + d : 3 * d * g + 2 * d]
+        v = kv_ref[0][:, 3 * d * g + 2 * d : 3 * d * g + 3 * d]
+        c_l = scal_ref[hg * 2 + g, 0]
+        c_r = scal_ref[hg * 2 + g, 1]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        fill = jnp.where(
+            cols < (qi - 1) * bq, c_l,
+            jnp.where(cols >= (qi + 2) * bq, c_r, 0.0))
+        s_ref[:, bq : bq + t_kv] = s + fill
+        s_ref[:, pl.ds(qi * bq, 3 * bq)] += band_ref[g]
+        s = s_ref[:, bq : bq + t_kv]
+        if have_mask:
+            s = jnp.where(mask_ref[0, 0][None, :], s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jnp.dot(p.astype(kv_ref.dtype), v,
+                      preferred_element_type=jnp.float32)
+        out_ref[0, :, d * g : d * (g + 1)] = (
+            ctx / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "scale", "bq", "interpret", "bias_scale",
+                     "bias_max_distance"),
+)
+def flash_attention_packed(
+    qkv: jax.Array,
+    n_head: int,
+    kv_valid: Optional[jax.Array] = None,
+    bias_table: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    bq: int = 128,
+    interpret: bool = False,
+    bias_scale: float = 8.0,
+    bias_max_distance: int = 64,
+) -> jax.Array:
+    """Non-causal T5-band-bias attention STRAIGHT off the fused qkv matmul.
+
+    qkv: (B, T, 3*H*D) with the per-head-interleaved channel layout
+    c = h*(3D) + part*D + d (upstream QKVAttentionLegacy). Returns the
+    merged context (B, T, H*D), ready for the output projection.
+
+    Head slicing happens in the BlockSpec index maps (two heads per
+    program: the 6D-wide column block [q k v | q k v], 384 lanes for D=64,
+    satisfying Mosaic's %128 block constraint), so XLA never materializes
+    the (B, T, H, 3, D) -> (B, H, T, D) transposes — measured 2x on the
+    custom-call time when the kernel consumed transposed operands
+    (scripts/ubench_flash_kernel.py 'producer' case). n_head must be even.
+    """
+    b, t, c3 = qkv.shape
+    d = c3 // (3 * n_head)
+    if n_head % 2 or (3 * 2 * d) % 128:
+        raise ValueError(f"packed path needs even heads and 6*D % 128 == 0,"
+                         f" got H={n_head} D={d}")
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    bq = min(bq, max(t, 8))
+    qkvp = _pad_to(qkv, 1, bq)
+    tp = qkvp.shape[1]
+    if kv_valid is None and tp != t:
+        kv_valid = jnp.ones((b, t), bool)
+    have_mask = kv_valid is not None
+    if have_mask:
+        maskp = _pad_to(kv_valid, 1, bq)[:, None, :]
+
+    from tortoise_tpu.ops.relpos import relpos_bias_band
+
+    band, scalars = relpos_bias_band(
+        bias_table, bq, scale=bias_scale,
+        num_buckets=bias_table.shape[0], max_distance=bias_max_distance)
+    band_cat = band.swapaxes(1, 2).reshape(n_head, bq, 3 * bq)
+
+    grid = (b, n_head // 2, tp // bq)
+    in_specs = [
+        pl.BlockSpec((1, bq, 6 * d), lambda bi, hg, qi: (bi, qi, hg)),
+        pl.BlockSpec((1, tp, 6 * d), lambda bi, hg, qi: (bi, 0, hg)),
+        pl.BlockSpec((2, bq, 3 * bq), lambda bi, hg, qi: (hg, 0, 0)),
+        pl.BlockSpec((n_head, 2), lambda bi, hg, qi: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    args = [qkvp, qkvp, band_cat, scalars]
+    if have_mask:
+        in_specs.append(
+            pl.BlockSpec((1, 1, tp), lambda bi, hg, qi: (bi, 0, 0)))
+        args.append(maskp)
+
+        def kern(qrow_ref, kv_ref, band_ref, scal_ref, mask_ref,
+                 out_ref, s_ref):
+            _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref,
+                                mask_ref, out_ref, s_ref, bq=bq, t_kv=tp,
+                                d=d, scale=scale, have_mask=True)
+    else:
+        def kern(qrow_ref, kv_ref, band_ref, scal_ref, out_ref, s_ref):
+            _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref,
+                                None, out_ref, s_ref, bq=bq, t_kv=tp,
+                                d=d, scale=scale, have_mask=False)
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, 2 * d),
+                               lambda bi, hg, qi: (bi, qi, hg)),
+        out_shape=jax.ShapeDtypeStruct((b, tp, n_head * d), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, tp + 2 * bq), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return out[:, :t, :]
+
+
 def _pad_to(x, axis, mult):
     t = x.shape[axis]
     pad = (-t) % mult
