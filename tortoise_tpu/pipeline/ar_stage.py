@@ -68,6 +68,21 @@ def pick_bucket(n: int, buckets: Sequence[int] = TEXT_BUCKETS) -> int:
     raise ValueError(f"text too long: {n} > {buckets[-1]}")
 
 
+def size_cache(cfg: ARConfig, bucket: int) -> ARConfig:
+    """Shrink the KV cache to what this text bucket can actually reach:
+    1 (voice) + bucket + 1 (start) + max_decode_steps, rounded up to 128.
+    Decode attention streams the whole (L, B, H, C, Dh) cache every step,
+    so a 1024-slot cache wastes ~40% of that traffic for short prompts.
+    The text bucket is already a compile key, so this adds no recompiles."""
+    import dataclasses
+
+    need = bucket + 2 + cfg.max_decode_steps
+    fitted = min(cfg.cache_len, (need + 127) // 128 * 128)
+    if fitted == cfg.cache_len:
+        return cfg
+    return dataclasses.replace(cfg, cache_len=fitted)
+
+
 def apply_padding(seq: List[int], cfg: ARConfig = ARConfig()) -> List[int]:
     """Reference apply_padding (main.cpp:4510-4532), non-mutating."""
     out = list(seq)
@@ -222,6 +237,7 @@ def autoregressive_batch(
     b = len(tokens_list)
     lens = [len(t) for t in tokens_list]
     bucket = pick_bucket(max(lens))
+    cfg = size_cache(cfg, bucket)
     text_ids = np.zeros((b, bucket), np.int32)
     text_valid = np.zeros((b, bucket), bool)
     for i, toks in enumerate(tokens_list):
@@ -283,6 +299,7 @@ def autoregressive(
     tokens = list(map(int, tokens))
     t = len(tokens)
     bucket = pick_bucket(t)
+    cfg = size_cache(cfg, bucket)
     text_ids = np.zeros((batch_size, bucket), np.int32)
     text_valid = np.zeros((batch_size, bucket), bool)
     text_ids[:, :t] = tokens
