@@ -1,0 +1,93 @@
+"""Device-time sweep of the packed flash kernel (production diffusion path).
+
+Wraps N calls in one jitted scan (dispatch-free), reads custom-call device
+time from the profiler trace.
+
+    python scripts/ubench_packed_kernel.py
+"""
+
+import collections
+import glob
+import os
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+from tortoise_tpu.ops.pallas.flash_attention import flash_attention_packed
+
+B, H, T, D = 2, 16, 2176, 64
+N = 10
+
+
+def make_loop(bq, use_mask):
+    @jax.jit
+    def loop(qkv, mask, table):
+        def body(c, _):
+            out = flash_attention_packed(c, H, mask, bias_table=table,
+                                         bq=bq)
+            # feed back so the scan can't hoist the call
+            nxt = jnp.concatenate([out, out, out], axis=-1) * 0.5 + c * 0.5
+            return nxt, None
+
+        c, _ = jax.lax.scan(body, qkv, None, length=N)
+        return c
+
+    return loop
+
+
+def device_profile(fn, *args, outdir):
+    os.system(f"rm -rf {outdir}")
+    out = fn(*args)
+    np.asarray(jnp.ravel(out)[:1])
+    with jax.profiler.trace(outdir):
+        out = fn(*args)
+        np.asarray(jnp.ravel(out)[:1])
+    path = glob.glob(outdir + "/plugins/profile/*/*.xplane.pb")[0]
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(path, "rb").read())
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        meta = {k: v.name for k, v in plane.event_metadata.items()}
+        for line in plane.lines:
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, "?")
+                tot[name] += ev.duration_ps
+                cnt[name] += 1
+    flash = [(n, d, cnt[n]) for n, d in tot.items() if "flash" in n]
+    return sum(d for _, d, _ in flash) / 1e9, sum(c for _, _, c in flash)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(0, 1, (B, T, 3 * H * D)), jnp.bfloat16)
+    table = jnp.asarray(rng.normal(0, 0.1, (32, H)), jnp.float32)
+    mask = jnp.ones((B, T), bool)
+
+    for bq in (128, 256, 512):
+        for use_mask in (True, False):
+            fn = make_loop(bq, use_mask)
+            try:
+                ms, calls = device_profile(
+                    fn, qkv, mask if use_mask else None, table,
+                    outdir=f"/tmp/jt_packed_{bq}_{use_mask}")
+                print(f"packed bq={bq} mask={use_mask}: "
+                      f"{ms/max(calls,1):7.3f} ms/call ({calls} calls)",
+                      flush=True)
+            except Exception as e:
+                print(f"packed bq={bq} mask={use_mask}: FAIL "
+                      f"{type(e).__name__} {str(e)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,8 +59,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
         elif have_bias:
             s = s + bias_ref[0, :, pl.ds(j * bk, bk)]
         if have_mask:
-            valid = mask_ref[0, 0, pl.ds(j * bk, bk)]
-            s = jnp.where(valid[None, :], s, NEG_INF)
+            # additive 0/NEG_INF f32 row: a bool `where` costs ~3x the
+            # whole kernel in VPU mask-expansion (ubench_packed_kernel)
+            s = s + mask_ref[0, 0, pl.ds(j * bk, bk)][None, :]
         if causal:
             qpos = qi * bq + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, bk), 0)
@@ -109,6 +110,9 @@ def _attn_kernel_rowblock(q_ref, k_ref, v_ref, band_ref, scal_ref, mask_ref,
     qi = pl.program_id(2)
     hg = pl.program_id(1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t_kv), 1)
+    # additive 0/NEG_INF mask row (f32): fused into the scratch write — a
+    # bool `where` on the (BQ, T) scores costs ~3x the whole kernel
+    maskrow = mask_ref[0, 0][None, :] if have_mask else None
 
     for g in range(n_heads):
         q = q_ref[0, g]                       # (BQ, D) native dtype
@@ -121,12 +125,11 @@ def _attn_kernel_rowblock(q_ref, k_ref, v_ref, band_ref, scal_ref, mask_ref,
         fill = jnp.where(
             cols < (qi - 1) * bq, c_l,
             jnp.where(cols >= (qi + 2) * bq, c_r, 0.0))
+        if have_mask:
+            fill = fill + maskrow
         s_ref[:, bq : bq + t_kv] = s + fill
         s_ref[:, pl.ds(qi * bq, 3 * bq)] += band_ref[g]
         s = s_ref[:, bq : bq + t_kv]
-        if have_mask:
-            valid = mask_ref[0, 0]
-            s = jnp.where(valid[None, :], s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -204,6 +207,9 @@ def _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref, mask_ref,
     qi = pl.program_id(2)
     hg = pl.program_id(1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t_kv), 1)
+    # additive 0/NEG_INF mask row (f32), fused into the scratch write
+    # (bool `where` on the scores costs ~3x the whole kernel)
+    maskrow = mask_ref[0, 0][None, :] if have_mask else None
     for g in range(2):
         # 1/sqrt(64) is a power of two: folding it into q in the input
         # dtype is exact
@@ -217,11 +223,11 @@ def _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref, mask_ref,
         fill = jnp.where(
             cols < (qi - 1) * bq, c_l,
             jnp.where(cols >= (qi + 2) * bq, c_r, 0.0))
+        if have_mask:
+            fill = fill + maskrow
         s_ref[:, bq : bq + t_kv] = s + fill
         s_ref[:, pl.ds(qi * bq, 3 * bq)] += band_ref[g]
         s = s_ref[:, bq : bq + t_kv]
-        if have_mask:
-            s = jnp.where(mask_ref[0, 0][None, :], s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -274,7 +280,9 @@ def flash_attention_packed(
         kv_valid = jnp.ones((b, t), bool)
     have_mask = kv_valid is not None
     if have_mask:
-        maskp = _pad_to(kv_valid, 1, bq)[:, None, :]
+        # additive 0/NEG_INF f32 row; _pad_to pads with 0=False -> NEG_INF
+        maskp = jnp.where(_pad_to(kv_valid, 1, bq), 0.0,
+                          NEG_INF).astype(jnp.float32)[:, None, :]
 
     from tortoise_tpu.ops.relpos import relpos_bias_band
 
@@ -382,8 +390,10 @@ def flash_attention(
         kv_valid = jnp.ones((b, t), bool)
     have_mask = kv_valid is not None
     if have_mask:
-        # (B, 1, T) so the trailing two block dims satisfy TPU tiling
-        maskp = _pad_to(kv_valid, 1, bk)[:, None, :]  # pads with False
+        # (B, 1, T) so the trailing two block dims satisfy TPU tiling;
+        # additive 0/NEG_INF f32 (pads with False -> NEG_INF)
+        maskp = jnp.where(_pad_to(kv_valid, 1, bk), 0.0,
+                          NEG_INF).astype(jnp.float32)[:, None, :]
     have_bias = bias is not None or block_bias
     nq, nk = tq // bq, tkv // bk
 

@@ -35,7 +35,22 @@ LAT_BUCKET = 32
 OUT_BUCKET = 64
 
 
+def _backend_token() -> int:
+    """Cache key component tying device-resident caches to the live
+    backend: after jax.extend.backend.clear_backends() (the multichip
+    dryrun does this) cached arrays are dead, and a new client id makes
+    the lru lookup miss instead of returning them."""
+    return id(jax.devices()[0].client)
+
+
 def _schedule_arrays(cfg: DiffusionConfig):
+    return _schedule_arrays_cached(cfg, _backend_token())
+
+
+@functools.lru_cache(maxsize=8)
+def _schedule_arrays_cached(cfg: DiffusionConfig, _token: int):
+    """Device-resident schedule vectors, cached per config: rebuilding the
+    4000-step numpy schedule and re-uploading it cost ~0.1 s per call."""
     s = ds.make_schedule(cfg.n_train_timesteps,
                          n_steps=cfg.n_sample_timesteps)
     return {
@@ -50,6 +65,23 @@ def _schedule_arrays(cfg: DiffusionConfig):
         "coef1": jnp.asarray(s.posterior_mean_coef1, jnp.float32),
         "coef2": jnp.asarray(s.posterior_mean_coef2, jnp.float32),
     }
+
+
+def _buckets_dev(length: int, num_buckets: int, max_distance: int):
+    return _buckets_dev_cached(length, num_buckets, max_distance,
+                               _backend_token())
+
+
+@functools.lru_cache(maxsize=32)
+def _buckets_dev_cached(length: int, num_buckets: int, max_distance: int,
+                        _token: int):
+    """Device-resident (L, L) rel-pos bucket ids, cached per shape.
+
+    Recomputing the numpy bucket matrix (np.log over L^2 elements) and
+    re-uploading ~19 MB through the remote-TPU tunnel cost ~1 s per
+    diffusion call at production lengths; the matrix is deterministic."""
+    return jax.device_put(jnp.asarray(
+        relative_position_buckets(length, num_buckets, max_distance)))
 
 
 @functools.partial(
@@ -165,13 +197,15 @@ def diffusion_batch(
         lat_in[i, : l.shape[0]] = l
         lat_mask[i, : l.shape[0]] = True
         out_mask[i, : out_lens[i]] = True
+    # when every row exactly fills its bucket there is nothing to mask;
+    # the masked group norms / attention cost ~25% of the eval (ubench)
+    lat_mask_opt = None if lat_mask.all() else lat_mask
+    out_mask_opt = None if out_mask.all() else out_mask
 
-    lat_buckets = jnp.asarray(
-        relative_position_buckets(lat_pad, cfg.rel_pos_buckets,
-                                  cfg.rel_pos_max_distance))
-    out_buckets = jnp.asarray(
-        relative_position_buckets(out_pad, cfg.rel_pos_buckets,
-                                  cfg.rel_pos_max_distance))
+    lat_buckets = _buckets_dev(lat_pad, cfg.rel_pos_buckets,
+                               cfg.rel_pos_max_distance)
+    out_buckets = _buckets_dev(out_pad, cfg.rel_pos_buckets,
+                               cfg.rel_pos_max_distance)
     sched = _schedule_arrays(cfg)
 
     from tortoise_tpu.parallel import place_batch
@@ -181,14 +215,18 @@ def diffusion_batch(
         code_emb2 = _code_emb_jit(
             params, cfg, place_batch(lat_in, mesh), lat_buckets,
             place_batch(lat_lens, mesh), place_batch(out_lens, mesh),
-            out_pad, place_batch(lat_mask, mesh), compute_dtype,
+            out_pad,
+            None if lat_mask_opt is None else place_batch(lat_mask_opt, mesh),
+            compute_dtype,
         )
 
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)
         noise = jax.random.normal(sub, (b, cfg.n_mel, out_pad))
-        out_mask_sh = place_batch(out_mask, mesh)
-        noise = jnp.where(jnp.asarray(out_mask)[:, None, :], noise, 0.0)
+        out_mask_sh = None if out_mask_opt is None \
+            else place_batch(out_mask_opt, mesh)
+        if out_mask_opt is not None:
+            noise = jnp.where(jnp.asarray(out_mask)[:, None, :], noise, 0.0)
         n = cfg.n_sample_timesteps
         if progress is None:
             x, _ = _diffusion_loop_jit(
@@ -251,17 +289,16 @@ def diffusion(
     out_mask = np.zeros((1, out_pad), bool)
     out_mask[0, :out_len] = True
 
-    lat_buckets = jnp.asarray(
-        relative_position_buckets(lat_pad, cfg.rel_pos_buckets,
-                                  cfg.rel_pos_max_distance))
-    out_buckets = jnp.asarray(
-        relative_position_buckets(out_pad, cfg.rel_pos_buckets,
-                                  cfg.rel_pos_max_distance))
+    lat_buckets = _buckets_dev(lat_pad, cfg.rel_pos_buckets,
+                               cfg.rel_pos_max_distance)
+    out_buckets = _buckets_dev(out_pad, cfg.rel_pos_buckets,
+                               cfg.rel_pos_max_distance)
     sched = _schedule_arrays(cfg)
 
     code_emb2 = _code_emb_jit(
         params, cfg, jnp.asarray(lat_in), lat_buckets, lat_len, out_len,
-        out_pad, jnp.asarray(lat_mask), compute_dtype,
+        out_pad, None if lat_mask.all() else jnp.asarray(lat_mask),
+        compute_dtype,
     )
 
     # host-parity loop: reference noise stream order (main.cpp:5638, 6014)
@@ -271,7 +308,7 @@ def diffusion(
     )
     x = jnp.asarray(x)
     tmap = np.asarray(sched["tmap"])
-    mask_dev = jnp.asarray(out_mask)
+    mask_dev = None if out_mask.all() else jnp.asarray(out_mask)
     for i in range(cfg.n_sample_timesteps):
         t = cfg.n_sample_timesteps - 1 - i
         out = _denoise_eval_jit(params, cfg, code_emb2, x, tmap[t],
@@ -290,7 +327,8 @@ def diffusion(
             jnp.asarray(uncond_mean), jnp.asarray(var_frac), t,
             jnp.asarray(step_noise), variance_swap,
         )
-        x = jnp.where(mask_dev[:, None, :], x, 0.0)
+        if mask_dev is not None:
+            x = jnp.where(mask_dev[:, None, :], x, 0.0)
         if progress is not None:
             progress((i + 1) / cfg.n_sample_timesteps)
     return np.asarray(x)[0, :, :out_len]
