@@ -7,6 +7,7 @@ loop dispatch+execute, and the final host transfer.
     python scripts/ubench_diffstage.py
 """
 
+import os
 import sys
 import time
 
@@ -92,6 +93,25 @@ def run(seed, verbose=False):
     return xh
 
 
-run(0)   # compile
-for i in range(4):
-    run(1 + i)
+if os.environ.get("UB_MODE") == "profile":
+    # trace a short loop window and dump the aggregated per-op profile
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ubench_diffusion import profile_to_summary
+
+    def short_loop(params):
+        key = jax.random.PRNGKey(0)
+        noise = jax.random.normal(key, (1, cfg.n_mel, out_pad))
+        code_emb2 = dst._code_emb_jit(
+            params, cfg, jnp.asarray(lat_in), lat_buckets,
+            jnp.asarray(lat_lens), jnp.asarray(out_lens), out_pad,
+            None, compute_dtype)
+        x, _ = dst._diffusion_loop_jit(
+            params, cfg, sched, code_emb2, noise, out_buckets,
+            None, key, jnp.int32(0), jnp.int32(8), True, compute_dtype)
+        return x
+
+    profile_to_summary(short_loop, params, outdir="/tmp/jaxtrace_loop")
+else:
+    run(0)   # compile
+    for i in range(4):
+        run(1 + i)

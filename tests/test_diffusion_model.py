@@ -268,3 +268,28 @@ def test_bf16_flash_denoise_runs_and_is_close(setup):
                      compute_dtype=jnp.bfloat16)
     assert obf.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(obf), np.asarray(o32), atol=0.1)
+
+
+def test_group_norm_fast_matches_exact():
+    """The one-pass E[x^2] group-norm (production bf16 path) must match
+    the exact two-pass form, masked and unmasked, including a nonzero-mean
+    input (the cancellation-sensitive case)."""
+    from tortoise_tpu.ops.basic import group_norm_tc
+
+    rng = np.random.default_rng(0)
+    b, t, c, g = 2, 48, 64, 8
+    x = (rng.normal(0, 1, (b, t, c)) + 3.0).astype(np.float32)
+    w = rng.normal(1, 0.1, (c,)).astype(np.float32)
+    bb = rng.normal(0, 0.1, (c,)).astype(np.float32)
+    mask = np.ones((b, t), bool)
+    mask[0, 37:] = False
+    mask[1, 11:] = False
+    for m in (None, mask):
+        exact = group_norm_tc(jnp.asarray(x), g, jnp.asarray(w),
+                              jnp.asarray(bb), mask=None if m is None
+                              else jnp.asarray(m))
+        fast = group_norm_tc(jnp.asarray(x), g, jnp.asarray(w),
+                             jnp.asarray(bb), mask=None if m is None
+                             else jnp.asarray(m), fast=True)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   atol=2e-4)

@@ -66,7 +66,8 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
     b, t, c = x.shape
     h, dh = cfg.n_head, cfg.d_head
     y = group_norm_tc(x, cfg.n_groups, block["attn_norm_w"],
-                      block["attn_norm_b"], cfg.gn_eps, mask=mask)
+                      block["attn_norm_b"], cfg.gn_eps, mask=mask,
+                      fast=compute_dtype is not None)
     qkv = pdot(y, block["attn_qkv_w"].T, compute_dtype) \
         + block["attn_qkv_b"]                       # (B, T, 3C)
     # channel c = head*192 + part*64 + d (per-head-interleaved qkv,
@@ -127,7 +128,8 @@ def _resblock(block, x, time_emb, cfg: DiffusionConfig, prefix="res_",
               mask=None, compute_dtype=None):
     """FiLM resblock over (B, T, C); time_emb (B, C)."""
     y = group_norm_tc(x, cfg.n_groups, block[prefix + "in_norm_w"],
-                      block[prefix + "in_norm_b"], cfg.gn_eps, mask=mask)
+                      block[prefix + "in_norm_b"], cfg.gn_eps, mask=mask,
+                      fast=compute_dtype is not None)
     y = silu(y)
     y = pdot(y, block[prefix + "in_conv_w"].T, compute_dtype) \
         + block[prefix + "in_conv_b"]
@@ -137,7 +139,8 @@ def _resblock(block, x, time_emb, cfg: DiffusionConfig, prefix="res_",
                   block[prefix + "emb_b"], compute_dtype)  # (B, 2C)
     scale, shift = jnp.split(emb.astype(y.dtype), 2, axis=-1)
     y = group_norm_tc(y, cfg.n_groups, block[prefix + "out_norm_w"],
-                      block[prefix + "out_norm_b"], cfg.gn_eps, mask=mask)
+                      block[prefix + "out_norm_b"], cfg.gn_eps, mask=mask,
+                      fast=compute_dtype is not None)
     y = y * (1.0 + scale)[:, None, :] + shift[:, None, :]
     y = silu(y)
     if mask is not None:
@@ -175,7 +178,8 @@ def latent_conditioner(params, cfg: DiffusionConfig, latents: jax.Array,
 
     x, _ = jax.lax.scan(step, x, params["latent_blocks"])
     x = group_norm_tc(x, cfg.n_groups, params["code_norm_w"],
-                      params["code_norm_b"], cfg.gn_eps, mask=lat_mask)
+                      params["code_norm_b"], cfg.gn_eps, mask=lat_mask,
+                      fast=compute_dtype is not None)
     x = x * (1.0 + params["cond_scale"]) + params["cond_shift"]
     return x
 
@@ -229,7 +233,8 @@ def trunk(params, cfg: DiffusionConfig, noisy_mel, code_emb, time_emb,
     x, _ = jax.lax.scan(tail_step, x, params["tail"])
 
     x = group_norm_tc(x, cfg.n_groups, params["out_norm_w"],
-                      params["out_norm_b"], cfg.gn_eps, mask=mask)
+                      params["out_norm_b"], cfg.gn_eps, mask=mask,
+                      fast=compute_dtype is not None)
     x = silu(x)
     x = conv1d_nwc(x, params["out_w"], params["out_b"], padding=1,
                    compute_dtype=compute_dtype)

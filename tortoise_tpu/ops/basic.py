@@ -106,14 +106,23 @@ def group_norm(x, n_groups: int, w=None, b=None, eps: float = 1e-5,
 
 
 def group_norm_tc(x, n_groups: int, w=None, b=None, eps: float = 1e-5,
-                  mask=None):
+                  mask=None, fast: bool = False):
     """GroupNorm over time-major (..., T, C) feature maps — the layout the
     TPU denoiser carries activations in (matmuls want (B*T, C); keeping C
     minor-most avoids a relayout per matmul). Statistics are identical to
     ``group_norm`` on the transposed input: per group of C/n_groups
     channels, reduced over (T, group channels). ``mask``: (..., T) bool.
+
+    ``fast``: one-pass E[x^2]-mean^2 statistics (reduce over T first, then
+    the tiny group axis) instead of the exact centered two-pass form — no
+    full (B, T, C) centered intermediate, which XLA materializes in a
+    transposed layout (~0.5 ms per call at production shapes, r2 profile).
+    f32 cancellation error is ~1e-6 relative for unit-scale activations;
+    the f32 parity path keeps the exact form.
     """
     *lead, t, c = x.shape
+    if fast:
+        return _group_norm_tc_fast(x, n_groups, w, b, eps, mask)
     xf = x.astype(jnp.float32).reshape(*lead, t, n_groups, c // n_groups)
     if mask is None:
         mean = jnp.mean(xf, axis=(-3, -1), keepdims=True)
@@ -137,6 +146,45 @@ def group_norm_tc(x, n_groups: int, w=None, b=None, eps: float = 1e-5,
     if mask is not None:
         out = jnp.where(
             jnp.broadcast_to(mask, (*lead, t))[..., None], out, 0.0)
+    return out.astype(x.dtype)
+
+
+def _group_norm_tc_fast(x, n_groups: int, w=None, b=None,
+                        eps: float = 1e-5, mask=None):
+    """One-pass group norm over (..., T, C): per-channel sums reduced over
+    T (a layout-friendly column reduction), group-summed on the tiny
+    (G, C/G) result, variance via E[x^2] - mean^2 (clamped at 0)."""
+    *lead, t, c = x.shape
+    cg = c // n_groups
+    xf = x.astype(jnp.float32)
+    if mask is not None:
+        m = jnp.broadcast_to(mask, (*lead, t))
+        xf = jnp.where(m[..., None], xf, 0.0)
+        n = jnp.maximum(jnp.sum(m, axis=-1), 1).astype(jnp.float32) * cg
+        n = n[..., None]                                   # (..., 1)
+    else:
+        n = jnp.float32(t * cg)
+    s1 = jnp.sum(xf, axis=-2)                              # (..., C)
+    s2 = jnp.sum(jnp.square(xf), axis=-2)
+    g1 = jnp.sum(s1.reshape(*lead, n_groups, cg), axis=-1)  # (..., G)
+    g2 = jnp.sum(s2.reshape(*lead, n_groups, cg), axis=-1)
+    mean = g1 / n
+    var = jnp.maximum(g2 / n - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    # per-channel scale/shift: fold the group stats (and affine) into one
+    # elementwise pass over x
+    inv_c = jnp.repeat(inv, cg, axis=-1)                   # (..., C)
+    mean_c = jnp.repeat(mean, cg, axis=-1)
+    scale = inv_c if w is None else inv_c * w
+    shift = -mean_c * inv_c
+    if w is not None:
+        shift = -mean_c * inv_c * w
+    if b is not None:
+        shift = shift + b
+    out = xf * scale[..., None, :] + shift[..., None, :]
+    if mask is not None:
+        out = jnp.where(jnp.broadcast_to(mask, (*lead, t))[..., None],
+                        out, 0.0)
     return out.astype(x.dtype)
 
 
