@@ -21,6 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, "/root/repo")
+
 
 def _force(out):
     # block_until_ready can return early over the axon tunnel; a tiny

@@ -43,7 +43,36 @@ def conv1d_nwc(x, w, b=None, stride: int = 1, padding: int = 0,
     """Time-major conv: x (N, T, C_in); w (C_out, C_in/groups, K) — same
     torch-oriented weights as ``conv1d`` — returns (N, T', C_out). NWC is
     the layout XLA:TPU prefers; the channels-first wrapper forces a
-    relayout per call."""
+    relayout per call.
+
+    The dense k<=3 stride-1 'same' case lowers to shifted-view concat +
+    ONE (N*T, K*C_in) x (K*C_in, C_out) matmul instead of lax.conv:
+    XLA:TPU's conv lowering wants a (T, N, C) physical layout, which
+    forced a transposed relayout of every producer in the denoiser
+    (~5 ms/CFG-step of the r2 loop profile); the matmul form keeps the
+    whole chain in the C-minor layout every other hot op uses."""
+    k = w.shape[-1]
+    if (k <= 3 and stride == 1 and dilation == 1 and groups == 1
+            and padding == (k - 1) // 2 and k % 2 == 1):
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+            precision = None
+        else:
+            precision = jax.lax.Precision.HIGHEST
+        if k == 1:
+            xk = x
+        else:
+            xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+            t = x.shape[1]
+            xk = jnp.concatenate([xp[:, j : j + t] for j in range(k)],
+                                 axis=-1)                  # (N, T, K*C_in)
+        wmat = w.transpose(2, 1, 0).reshape(k * w.shape[1], w.shape[0])
+        out = jnp.matmul(xk, wmat, preferred_element_type=jnp.float32,
+                         precision=precision)
+        if b is not None:
+            out = out + b
+        return out
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
