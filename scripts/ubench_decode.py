@@ -23,6 +23,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
+from tortoise_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def _force(out):
     # block_until_ready can return early over the axon tunnel; a tiny

@@ -20,6 +20,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
+from tortoise_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
 from tortoise_tpu.config import DiffusionConfig
 from tortoise_tpu.io.checkpoint import random_diffusion_params
 from tortoise_tpu.models import diffusion as dmodel

@@ -18,6 +18,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
+from tortoise_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
 from tortoise_tpu.ops.pallas.flash_attention import flash_attention_packed
 
 B, H, T, D = 2, 16, 2176, 64

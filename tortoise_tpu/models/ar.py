@@ -229,14 +229,19 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
         q, k_new, v_new = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # (B, H, Dh)
         scores = pdot(q[:, :, None, :], k_l.swapaxes(-1, -2),
                       compute_dtype) / scale               # (B, H, 1, C)
-        self_score = (jnp.sum(q * k_new, axis=-1)[:, :, None, None]
-                      / scale)                             # (B, H, 1, 1)
-        scores = jnp.concatenate(
-            [scores + bias, self_score.astype(scores.dtype)], axis=-1)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        p_cache, p_self = probs[..., :-1], probs[..., -1:]
-        ctx = pdot(p_cache.astype(q.dtype), v_l, compute_dtype)[:, :, 0] \
-            + p_self[:, :, 0].astype(jnp.float32) * v_new.astype(jnp.float32)
+        scores = (scores + bias).astype(jnp.float32)
+        self_score = (jnp.sum(
+            q.astype(jnp.float32) * k_new.astype(jnp.float32), axis=-1)
+            / scale)[:, :, None]                           # (B, H, 1)
+        # softmax over [cache scores | fresh-token score] WITHOUT
+        # concatenating to a (C+1)-lane array (mis-tiled on TPU): fold the
+        # scalar self term into the max/denominator explicitly
+        m = jnp.maximum(jnp.max(scores, axis=-1), self_score)  # (B, H, 1)
+        e_cache = jnp.exp(scores - m[..., None])
+        e_self = jnp.exp(self_score - m)                   # (B, H, 1)
+        denom = jnp.sum(e_cache, axis=-1) + e_self         # (B, H, 1)
+        ctx = (pdot(e_cache.astype(q.dtype), v_l, compute_dtype)[:, :, 0]
+               + e_self * v_new.astype(jnp.float32)) / denom
         merged = ctx.reshape(b, h_ * dh)
         attn = pdot(merged, block["proj_w"], compute_dtype) \
             + block["proj_b"]

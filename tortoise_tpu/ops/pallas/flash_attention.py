@@ -266,6 +266,8 @@ def flash_attention_packed(
     custom-call time when the kernel consumed transposed operands
     (scripts/ubench_flash_kernel.py 'producer' case). n_head must be even.
     """
+    import os
+
     b, t, c3 = qkv.shape
     d = c3 // (3 * n_head)
     if n_head % 2 or (3 * 2 * d) % 128:
@@ -273,6 +275,7 @@ def flash_attention_packed(
                          f" got H={n_head} D={d}")
     if scale is None:
         scale = 1.0 / (d ** 0.5)
+    bq = int(os.environ.get("FLASH_BQ", bq))  # tuning knob (trace-time)
     bq = min(bq, max(t, 8))
     qkvp = _pad_to(qkv, 1, bq)
     tp = qkvp.shape[1]
@@ -316,6 +319,17 @@ def flash_attention_packed(
                                 None, out_ref, s_ref, bq=bq, t_kv=tp,
                                 d=d, scale=scale, have_mask=False)
 
+    import os
+
+    params = {}
+    if not interpret:
+        # (b, head-group) grid steps are independent; telling Mosaic lets
+        # it overlap their prologue DMAs across steps
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=(int(os.environ["FLASH_VMEM_MB"]) * 2**20
+                              if os.environ.get("FLASH_VMEM_MB") else None),
+        )
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -325,6 +339,7 @@ def flash_attention_packed(
         out_shape=jax.ShapeDtypeStruct((b, tp, n_head * d), qkv.dtype),
         scratch_shapes=[pltpu.VMEM((bq, tp + 2 * bq), jnp.float32)],
         interpret=interpret,
+        **params,
     )(*args)
     return out[:, :t, :]
 
