@@ -63,11 +63,14 @@ def main() -> int:
     ).tolist() + [0]
     voice = rng.normal(0, 0.5, (models.ar_cfg.d_model,)).astype(np.float32)
 
+    int8 = os.environ.get("BENCH_INT8") == "1"
+
     def run(seed):
         t0 = time.monotonic()
         result = synthesize(models, tokens=tokens, voice=voice, seed=seed,
                             batch_size=1, sampler="jax",
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype,
+                            int8_weights=int8)
         wall = time.monotonic() - t0
         return result, wall
 
@@ -95,7 +98,8 @@ def main() -> int:
         "device": device,
         "bf16": use_bf16,
     }
-    line.update(roofline_stats(models, result, use_bf16))
+    line["int8_weights"] = int8
+    line.update(roofline_stats(models, result, use_bf16, int8))
 
     # batched serving path: aggregate RTF per chip for B utterances decoded
     # together (the repo's headline TPU feature)
@@ -138,7 +142,8 @@ BF16_FLOPS = 197e12
 F32_FLOPS = 49e12
 
 
-def roofline_stats(models, result, use_bf16: bool) -> dict:
+def roofline_stats(models, result, use_bf16: bool,
+                   int8: bool = False) -> dict:
     """ms/step + roofline shares for the two hot stages.
 
     AR decode is weight-streaming (HBM) bound: one step must read every
@@ -148,7 +153,7 @@ def roofline_stats(models, result, use_bf16: bool) -> dict:
     import numpy as np
 
     acfg, dcfg = models.ar_cfg, models.diffusion_cfg
-    wbytes = 2 if use_bf16 else 4  # matmul weights are cast to bf16
+    wbytes = 1 if int8 else (2 if use_bf16 else 4)
     d = acfg.d_model
     per_layer = d * 3 * d + d * d + d * 4 * d + 4 * d * d
     ar_bytes = (acfg.n_layer * per_layer + acfg.n_mel_vocab * d) * wbytes

@@ -60,8 +60,8 @@ noise = jax.random.normal(key, (1, cfg.n_mel, out_pad))
 
 VARIANTS = [
     ("base", {}),
-    ("vmem100", {"FLASH_VMEM_MB": "100"}),
-    ("bq256", {"FLASH_BQ": "256"}),
+    ("unroll2", {"DIFF_UNROLL": "2"}),
+    ("unroll5", {"DIFF_UNROLL": "5"}),
 ]
 
 raw = dst._diffusion_loop_jit.__wrapped__

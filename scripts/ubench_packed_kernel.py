@@ -72,11 +72,44 @@ def device_profile(fn, *args, outdir):
     return sum(d for _, d, _ in flash) / 1e9, sum(c for _, _, c in flash)
 
 
+def make_producer_loop(bq):
+    """Mimic the in-context call: qkv comes from the fused matmul + bias
+    each iteration, the output feeds the next layer's matmul — the exact
+    dataflow of the denoiser's attention site."""
+    @jax.jit
+    def loop(x, w3, bias, table):
+        def body(c, _):
+            qkv = jnp.matmul(c, w3, preferred_element_type=jnp.float32)
+            qkv = (qkv + bias).astype(c.dtype)
+            out = flash_attention_packed(qkv, H, None, bias_table=table,
+                                         bq=bq)
+            return c * 0.5 + out * 0.5, None
+
+        c, _ = jax.lax.scan(body, x, None, length=N)
+        return c
+
+    return loop
+
+
 def main():
     rng = np.random.default_rng(0)
     qkv = jnp.asarray(rng.normal(0, 1, (B, T, 3 * H * D)), jnp.bfloat16)
     table = jnp.asarray(rng.normal(0, 0.1, (32, H)), jnp.float32)
     mask = jnp.ones((B, T), bool)
+
+    x = jnp.asarray(rng.normal(0, 1, (B, T, H * D)), jnp.bfloat16)
+    w3 = jnp.asarray(rng.normal(0, 0.03, (H * D, 3 * H * D)), jnp.bfloat16)
+    bias3 = jnp.asarray(rng.normal(0, 0.1, (3 * H * D,)), jnp.float32)
+    for bq in (128, 256):
+        fn = make_producer_loop(bq)
+        try:
+            ms, calls = device_profile(fn, x, w3, bias3, table,
+                                       outdir=f"/tmp/jt_packed_prod_{bq}")
+            print(f"producer bq={bq}: {ms/max(calls,1):7.3f} ms/call "
+                  f"({calls} calls)", flush=True)
+        except Exception as e:
+            print(f"producer bq={bq}: FAIL {type(e).__name__} "
+                  f"{str(e)[:120]}", flush=True)
 
     for bq in (128, 256, 512):
         for use_mask in (True, False):

@@ -114,3 +114,36 @@ def test_bucket_selection():
     assert ap.pick_bucket(404) == 404
     with pytest.raises(ValueError):
         ap.pick_bucket(405)
+
+
+def test_int8_weights_close_and_runs(tiny):
+    """Opt-in int8 AR weights: per-column quantization keeps prefill
+    logits within ~1% relative, and the full stage runs end to end."""
+    import jax.numpy as jnp
+
+    from tortoise_tpu.models import ar
+
+    cfg, params, tokens, voice = tiny
+    b = 1
+    t = len(tokens)
+    text_ids = np.zeros((b, 16), np.int32)
+    text_valid = np.zeros((b, 16), bool)
+    text_ids[:, :t] = tokens
+    text_valid[:, :t] = True
+
+    pf32 = ap.cast_matmul_weights(params, None)
+    pint8 = ap.cast_matmul_weights(params, None, int8=True)
+    lf, _ = ar.prefill(pf32, cfg, jnp.asarray(text_ids),
+                       jnp.asarray(text_valid), jnp.asarray(voice))
+    lq, _ = ar.prefill(pint8, cfg, jnp.asarray(text_ids),
+                       jnp.asarray(text_valid), jnp.asarray(voice))
+    scale = float(np.max(np.abs(np.asarray(lf)))) + 1e-9
+    err = float(np.max(np.abs(np.asarray(lq) - np.asarray(lf)))) / scale
+    assert err < 0.02, f"int8 relative logit error {err:.4f}"
+
+    latents, seqs = ap.autoregressive(
+        params, tokens, voice, batch_size=1, cfg=cfg, sampler="jax",
+        seed=0, int8_weights=True
+    )
+    assert len(seqs) == 1 and seqs[0][0] == cfg.start_mel_token
+    assert np.isfinite(latents[0]).all()

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "upstream tortoise-tts")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 matmuls (faster on TPU)")
+    p.add_argument("--int8-weights", action="store_true",
+                   help="int8 AR matmul weights (per-column scales): half "
+                        "the decode weight-streaming bytes, ~3e-3 relative "
+                        "logit error")
     p.add_argument("--diffusion-steps", type=int, default=80,
                    help="respaced DDPM steps (80 matches the reference; "
                         "fewer is faster at some quality cost)")
@@ -166,6 +170,7 @@ def main(argv=None) -> int:
             models, messages=messages, tokens_list=tokens_list,
             voices=voice, seed=args.seed, compute_dtype=compute_dtype,
             tokenizer_method=args.tokenizer_method, progress=progress,
+            int8_weights=args.int8_weights,
         )
         root, ext = os.path.splitext(args.output)
         for i, r in enumerate(results):
@@ -197,6 +202,7 @@ def main(argv=None) -> int:
         compute_dtype=compute_dtype,
         tokenizer_method=args.tokenizer_method,
         progress=progress,
+        int8_weights=args.int8_weights,
     )
     result.save(args.output)
     total = sum(result.timings.values())

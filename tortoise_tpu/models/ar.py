@@ -119,7 +119,10 @@ def _head(params, h, cfg: ARConfig, compute_dtype=None):
     h = layer_norm(h, params["ln_f_w"], params["ln_f_b"], cfg.ln_eps)
     h = layer_norm(h, None, None, cfg.ln_eps)  # bare second norm (2996)
     h = h * params["lm_ln_w"] + params["lm_ln_b"]
-    return pdot(h, params["lm_w"].T, compute_dtype) + params["lm_b"]
+    lm_w = params["lm_w"]
+    if isinstance(lm_w, tuple):  # int8 pair, pre-transposed at cast time
+        return pdot(h, lm_w, compute_dtype) + params["lm_b"]
+    return pdot(h, lm_w.T, compute_dtype) + params["lm_b"]
 
 
 def _latent_head(params, h, cfg: ARConfig):

@@ -86,7 +86,7 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
         # doubled the custom-call time (scripts/ubench_flash_kernel.py)
         merged = flash_attention_packed(
             qkv.astype(kdt), h, kv_valid, bias_table=rel_w,
-            bias_max_distance=cfg.rel_pos_max_distance, bq=128,
+            bias_max_distance=cfg.rel_pos_max_distance, bq=256,
             interpret=jax.default_backend() != "tpu",
         )
     elif cfg.use_flash:
@@ -224,7 +224,10 @@ def trunk(params, cfg: DiffusionConfig, noisy_mel, code_emb, time_emb,
         return _diffusion_layer(layer, x, time_emb, out_buckets, cfg, mask,
                                 compute_dtype), None
 
-    x, _ = jax.lax.scan(main_step, x, params["layers"])
+    import os
+
+    x, _ = jax.lax.scan(main_step, x, params["layers"],
+                        unroll=int(os.environ.get("DIFF_UNROLL", "1")))
 
     def tail_step(x, layer):
         return _resblock(layer, x, time_emb, cfg, "res_", mask,

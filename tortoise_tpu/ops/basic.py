@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 
-def pdot(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
+def pdot(x: jax.Array, w, compute_dtype=None) -> jax.Array:
     """Matmul with explicit MXU-friendly dtype control.
 
     Casts operands to ``compute_dtype`` (e.g. bfloat16) and accumulates in
@@ -31,7 +31,18 @@ def pdot(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
     matmul is true float32: on TPU that requires Precision.HIGHEST, because
     the MXU's default "f32" matmul is a single bf16 pass (~4e-3 relative
     error) — parity mode needs the multi-pass exact form.
+
+    ``w`` may be a ``(w_int8, scale)`` pair (see ``quantize_cols``): the
+    int8 weight streams from HBM at half the bf16 bytes — the AR decode
+    bound — the convert fuses into the dot's operand read, and the
+    per-output-column scale is applied to the f32 accumulator.
     """
+    if isinstance(w, tuple):
+        wq, scale = w
+        cd = compute_dtype or jnp.float32
+        out = jnp.matmul(x.astype(cd), wq.astype(cd),
+                         preferred_element_type=jnp.float32)
+        return out * scale
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
@@ -41,6 +52,18 @@ def pdot(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
     return jnp.matmul(
         x, w, preferred_element_type=jnp.float32, precision=precision
     )
+
+
+def quantize_cols(w: jax.Array):
+    """Symmetric per-output-column int8 quantization of a weight oriented
+    for ``x @ w`` ((..., in, out); the reduction is over the `in` axis, so
+    stacked (L, in, out) layer weights get per-layer per-column scales).
+    Returns (w_int8, scale_f32 (..., 1, out)) with w ~= w_int8 * scale."""
+    wf = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return wq, scale.astype(jnp.float32)
 
 
 def layer_norm(x, w=None, b=None, eps: float = 1e-5, axis: int = -1):

@@ -39,9 +39,13 @@ from tortoise_tpu.ops import sampling as S
 _MATMUL_WEIGHTS = ("attn_w", "proj_w", "fc_w", "fc_proj_w")
 
 
-def cast_matmul_weights(params, dtype):
+def cast_matmul_weights(params, dtype, int8: bool = False):
     """Device-resident AR param tree: the big matmul weights stored in the
     compute dtype (decode is weight-bandwidth bound), everything else f32.
+
+    int8=True instead stores them as symmetric per-layer-per-column int8
+    pairs (ops.basic.quantize_cols) — half the bf16 streaming bytes, the
+    decode bound; ~3e-3 relative logit error, opt-in (--int8-weights).
 
     ALL leaves are moved to the default device. Leaving leaves as numpy
     means every jitted entry point re-uploads them per call — measured
@@ -49,6 +53,15 @@ def cast_matmul_weights(params, dtype):
     tables, which dwarfed the ~2 ms/step on-device decode loop."""
     from tortoise_tpu.pipeline.common import ensure_device
 
+    if int8:
+        from tortoise_tpu.ops.basic import quantize_cols
+
+        blocks = dict(params["blocks"])
+        for k in _MATMUL_WEIGHTS:
+            blocks[k] = quantize_cols(jnp.asarray(blocks[k]))
+        out = dict(params, blocks=blocks)
+        out["lm_w"] = quantize_cols(jnp.asarray(params["lm_w"]).T)
+        return ensure_device(out)
     if dtype is None:
         return ensure_device(params)
     blocks = dict(params["blocks"])
@@ -222,6 +235,7 @@ def autoregressive_batch(
     compute_dtype=None,
     qkv_f16: bool = False,
     mesh=None,
+    int8_weights: bool = False,
 ) -> Tuple[List[np.ndarray], List[List[int]]]:
     """Batched serving path: different token sequences per row (list of id
     lists) with per-row voices (B, d) or one shared (d,) latent. Rows are
@@ -247,7 +261,7 @@ def autoregressive_batch(
     voices = np.asarray(voices, np.float32)
     if voices.ndim == 1:
         voices = np.broadcast_to(voices, (b, voices.shape[0]))
-    params = cast_matmul_weights(params, compute_dtype)
+    params = cast_matmul_weights(params, compute_dtype, int8_weights)
 
     from tortoise_tpu.parallel import place_batch
     from tortoise_tpu.pipeline.common import mesh_context
@@ -288,6 +302,7 @@ def autoregressive(
     rng=None,
     compute_dtype=None,
     qkv_f16: bool = False,
+    int8_weights: bool = False,
 ) -> Tuple[List[np.ndarray], List[List[int]]]:
     """Run stage 1. Returns (trimmed_latents, padded_sequences), the exact
     analogue of the reference's return pair (main.cpp:5365-5366).
@@ -306,7 +321,7 @@ def autoregressive(
     text_valid[:, :t] = True
 
     voice = jnp.asarray(voice, jnp.float32)
-    params = cast_matmul_weights(params, compute_dtype)
+    params = cast_matmul_weights(params, compute_dtype, int8_weights)
     logits, cache = _prefill_jit(params, cfg, jnp.asarray(text_ids),
                                  jnp.asarray(text_valid), voice,
                                  compute_dtype, qkv_f16)

@@ -133,6 +133,7 @@ def synthesize_batch(
     tokenizer_method: str = "greedy",
     mesh=None,
     progress=None,
+    int8_weights: bool = False,
 ) -> List[SynthesisResult]:
     """Batched serving path: synthesize several utterances together. Each
     stage runs one batched on-device computation with per-row masked
@@ -169,7 +170,7 @@ def synthesize_batch(
     t0 = time.monotonic()
     latents, sequences = autoregressive_batch(
         models.ar_params, tokens_list, voices, models.ar_cfg, seed=seed,
-        compute_dtype=compute_dtype, mesh=mesh,
+        compute_dtype=compute_dtype, mesh=mesh, int8_weights=int8_weights,
     )
     timings["autoregressive_s"] = time.monotonic() - t0
 
@@ -212,6 +213,7 @@ def synthesize(
     compute_dtype=None,
     tokenizer_method: str = "greedy",
     progress=None,
+    int8_weights: bool = False,
 ) -> SynthesisResult:
     """Run the full pipeline. Provide `message` (tokenized via the models'
     tokenizer) or raw wrapped `tokens`. `voice` is a 1024-f32 latent array
@@ -236,6 +238,7 @@ def synthesize(
     latents, sequences = ar_stage.autoregressive(
         models.ar_params, tokens, voice, batch_size, models.ar_cfg,
         sampler=sampler, seed=seed, rng=rng, compute_dtype=compute_dtype,
+        int8_weights=int8_weights,
     )
     timings["autoregressive_s"] = time.monotonic() - t0
 
