@@ -53,11 +53,13 @@ def main():
     from tortoise_tpu.pipeline.ar_stage import cast_matmul_weights
 
     cfg = ARConfig()
-    params = cast_matmul_weights(random_ar_params(cfg, seed=0), jnp.bfloat16)
+    int8 = os.environ.get("AR_INT8") == "1"
+    params = cast_matmul_weights(random_ar_params(cfg, seed=0),
+                                 jnp.bfloat16, int8=int8)
     blocks = params["blocks"]
     nbytes = sum(np.prod(v.shape) * v.dtype.itemsize
                  for v in jax.tree.leaves(params))
-    print(f"param bytes: {nbytes/1e6:.0f} MB", flush=True)
+    print(f"param bytes: {nbytes/1e6:.0f} MB (int8={int8})", flush=True)
 
     for b in (1, 4):
         rng = np.random.default_rng(0)
@@ -89,19 +91,19 @@ def main():
 
         # --- weight streaming only: chained matvecs through the same
         #     stacked block weights (no attention, no cache) ---
+        from tortoise_tpu.ops.basic import pdot
+
         @jax.jit
         def wstream(blocks, x):
             def body(i, x):
                 def layer(h, blk):
-                    a = jnp.matmul(h, blk["attn_w"],
-                                   preferred_element_type=jnp.float32)
+                    a = pdot(h, blk["attn_w"], jnp.bfloat16)
                     h1 = a[:, :1024].astype(jnp.bfloat16)
-                    p = jnp.matmul(h1, blk["proj_w"],
-                                   preferred_element_type=jnp.float32)
-                    f = jnp.matmul(p.astype(jnp.bfloat16), blk["fc_w"],
-                                   preferred_element_type=jnp.float32)
-                    o = jnp.matmul(f.astype(jnp.bfloat16), blk["fc_proj_w"],
-                                   preferred_element_type=jnp.float32)
+                    p = pdot(h1, blk["proj_w"], jnp.bfloat16)
+                    f = pdot(p.astype(jnp.bfloat16), blk["fc_w"],
+                             jnp.bfloat16)
+                    o = pdot(f.astype(jnp.bfloat16), blk["fc_proj_w"],
+                             jnp.bfloat16)
                     return o.astype(jnp.bfloat16), None
 
                 x, _ = jax.lax.scan(layer, x, blocks)
@@ -109,9 +111,12 @@ def main():
 
             return jax.lax.fori_loop(0, steps, body, x)
 
+        wb = sum(
+            sum(np.prod(l.shape) * l.dtype.itemsize
+                for l in jax.tree.leaves(blocks[k]))
+            for k in ("attn_w", "proj_w", "fc_w", "fc_proj_w"))
+
         x0 = jnp.asarray(rng.normal(0, 1, (b, 1024)), jnp.bfloat16)
-        wb = sum(np.prod(blocks[k].shape) * 2 for k in
-                 ("attn_w", "proj_w", "fc_w", "fc_proj_w"))
         dt = timeit(wstream, blocks, x0)
         print(f"B={b} wstream  : {dt/steps*1e3:7.2f} ms/step "
               f"({wb/(dt/steps)/1e9:6.1f} GB/s)", flush=True)

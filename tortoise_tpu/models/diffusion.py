@@ -56,7 +56,9 @@ from tortoise_tpu.ops.relpos import relpos_bias
 NEG_INF = -1e30
 
 
-def _linear(x, w, b, compute_dtype=None):
+def _linear(x, w, b, compute_dtype=None, out_dtype=None):
+    if out_dtype is not None and compute_dtype is not None:
+        return pdot(x, w.T, compute_dtype, out_dtype) + b.astype(out_dtype)
     return pdot(x, w.T, compute_dtype) + b
 
 
@@ -68,8 +70,11 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
     y = group_norm_tc(x, cfg.n_groups, block["attn_norm_w"],
                       block["attn_norm_b"], cfg.gn_eps, mask=mask,
                       fast=compute_dtype is not None)
-    qkv = pdot(y, block["attn_qkv_w"].T, compute_dtype) \
-        + block["attn_qkv_b"]                       # (B, T, 3C)
+    # bf16 path: emit the fused qkv straight in the kernel dtype (MXU
+    # accumulates f32 internally either way; the f32 output + downcast
+    # cost a full (B, T, 3C) round trip per layer)
+    qkv = _linear(y, block["attn_qkv_w"], block["attn_qkv_b"],
+                  compute_dtype, out_dtype=compute_dtype)  # (B, T, 3C)
     # channel c = head*192 + part*64 + d (per-head-interleaved qkv,
     # upstream QKVAttentionLegacy; main.cpp:3229-3245)
     if cfg.use_flash and h % 2 == 0 and (6 * dh) % 128 == 0:
@@ -120,7 +125,7 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
         ctx = pdot(probs.astype(q.dtype), v, compute_dtype)  # (B, H, T, Dh)
         merged = ctx.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
     out = _linear(merged, block["attn_proj_w"], block["attn_proj_b"],
-                  compute_dtype)
+                  compute_dtype, out_dtype=compute_dtype)
     return x + out.astype(x.dtype)
 
 
@@ -131,10 +136,9 @@ def _resblock(block, x, time_emb, cfg: DiffusionConfig, prefix="res_",
                       block[prefix + "in_norm_b"], cfg.gn_eps, mask=mask,
                       fast=compute_dtype is not None)
     y = silu(y)
-    y = pdot(y, block[prefix + "in_conv_w"].T, compute_dtype) \
-        + block[prefix + "in_conv_b"]
-    if compute_dtype is not None:
-        y = y.astype(compute_dtype)  # keep the FiLM chain off f32 traffic
+    # bf16 out_dtype keeps the FiLM chain off f32 traffic
+    y = _linear(y, block[prefix + "in_conv_w"], block[prefix + "in_conv_b"],
+                compute_dtype, out_dtype=compute_dtype)
     emb = _linear(silu(time_emb), block[prefix + "emb_w"],
                   block[prefix + "emb_b"], compute_dtype)  # (B, 2C)
     scale, shift = jnp.split(emb.astype(y.dtype), 2, axis=-1)
@@ -149,9 +153,9 @@ def _resblock(block, x, time_emb, cfg: DiffusionConfig, prefix="res_",
         y = jnp.where(mask[:, :, None], y, 0.0)
     y = conv1d_nwc(y, block[prefix + "out_conv_w"],
                    block[prefix + "out_conv_b"], padding=1,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype, out_dtype=compute_dtype)
     if mask is not None:
-        y = jnp.where(mask[:, :, None], y, 0.0)
+        y = jnp.where(mask[:, :, None], y, jnp.zeros((), y.dtype))
     return x + y.astype(x.dtype)
 
 
@@ -209,16 +213,12 @@ def trunk(params, cfg: DiffusionConfig, noisy_mel, code_emb, time_emb,
     """Noisy mel (B, T, 100) + integrated code emb (B, T, 1024) ->
     (B, T, 200) [means | var fracs], all time-major (main.cpp:3611-4044)."""
     x = conv1d_nwc(noisy_mel, params["inp_w"], params["inp_b"], padding=1,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype, out_dtype=compute_dtype)
     x = jnp.concatenate([x, code_emb.astype(x.dtype)], axis=-1)
-    x = pdot(x, params["integrating_w"].T, compute_dtype) \
-        + params["integrating_b"]
-    if compute_dtype is not None:
-        # keep the residual carry in the compute dtype: pdot/conv return
-        # f32 accumulations, and an f32 carry doubles every elementwise
-        # pass through the 10 main layers (profiled r2: the while carry
-        # was f32[2,T,1024] despite bf16 mode)
-        x = x.astype(compute_dtype)
+    # the residual carry stays in the compute dtype: an f32 carry doubles
+    # every elementwise pass through the 10 main layers (r2 profile)
+    x = _linear(x, params["integrating_w"], params["integrating_b"],
+                compute_dtype, out_dtype=compute_dtype)
 
     def main_step(x, layer):
         return _diffusion_layer(layer, x, time_emb, out_buckets, cfg, mask,

@@ -39,7 +39,8 @@ def conv1d(x, w, b=None, stride: int = 1, padding: int = 0,
 
 
 def conv1d_nwc(x, w, b=None, stride: int = 1, padding: int = 0,
-               dilation: int = 1, groups: int = 1, compute_dtype=None):
+               dilation: int = 1, groups: int = 1, compute_dtype=None,
+               out_dtype=None):
     """Time-major conv: x (N, T, C_in); w (C_out, C_in/groups, K) — same
     torch-oriented weights as ``conv1d`` — returns (N, T', C_out). NWC is
     the layout XLA:TPU prefers; the channels-first wrapper forces a
@@ -68,10 +69,13 @@ def conv1d_nwc(x, w, b=None, stride: int = 1, padding: int = 0,
             xk = jnp.concatenate([xp[:, j : j + t] for j in range(k)],
                                  axis=-1)                  # (N, T, K*C_in)
         wmat = w.transpose(2, 1, 0).reshape(k * w.shape[1], w.shape[0])
-        out = jnp.matmul(xk, wmat, preferred_element_type=jnp.float32,
+        if compute_dtype is None:
+            out_dtype = None  # parity path stays f32
+        out = jnp.matmul(xk, wmat,
+                         preferred_element_type=out_dtype or jnp.float32,
                          precision=precision)
         if b is not None:
-            out = out + b
+            out = out + (b.astype(out_dtype) if out_dtype else b)
         return out
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
