@@ -127,12 +127,18 @@ def main():
 
         @jax.jit
         def cacheatt(k_c, v_c, q0):
+            h_, dh = 16, 64
+
             def body(i, q):
                 def layer(q, kv):
-                    k_l, v_l = kv
-                    s = jnp.einsum("bhd,bhcd->bhc", q, k_l)
+                    k_l, v_l = kv                      # (B, C, H*Dh)
+                    k4 = k_l.reshape(k_l.shape[0], -1, h_, dh)
+                    v4 = v_l.reshape(v_l.shape[0], -1, h_, dh)
+                    s = jnp.einsum("bhd,bchd->bhc", q, k4,
+                                   preferred_element_type=jnp.float32)
                     p = jax.nn.softmax(s, axis=-1)
-                    o = jnp.einsum("bhc,bhcd->bhd", p.astype(v_l.dtype), v_l)
+                    o = jnp.einsum("bhc,bchd->bhd", p.astype(v4.dtype), v4,
+                                   preferred_element_type=jnp.float32)
                     return o.astype(q.dtype), None
 
                 q, _ = jax.lax.scan(layer, q, (k_c, v_c))

@@ -91,6 +91,25 @@ def make_producer_loop(bq):
     return loop
 
 
+def make_scanned_producer_loop(bq):
+    """Like the producer loop, but the qkv weights are a scanned (N, C, 3C)
+    stack streamed from HBM per iteration — the real denoiser's weight
+    prefetch pattern. Isolates DMA contention with the kernel."""
+    @jax.jit
+    def loop(x, w3s, bias, table):
+        def body(c, w3):
+            qkv = jnp.matmul(c, w3, preferred_element_type=jnp.bfloat16)
+            qkv = qkv + bias.astype(qkv.dtype)
+            out = flash_attention_packed(qkv, H, None, bias_table=table,
+                                         bq=bq)
+            return c * 0.5 + out * 0.5, None
+
+        c, _ = jax.lax.scan(body, x, w3s)
+        return c
+
+    return loop
+
+
 def main():
     rng = np.random.default_rng(0)
     qkv = jnp.asarray(rng.normal(0, 1, (B, T, 3 * H * D)), jnp.bfloat16)
@@ -100,6 +119,18 @@ def main():
     x = jnp.asarray(rng.normal(0, 1, (B, T, H * D)), jnp.bfloat16)
     w3 = jnp.asarray(rng.normal(0, 0.03, (H * D, 3 * H * D)), jnp.bfloat16)
     bias3 = jnp.asarray(rng.normal(0, 0.1, (3 * H * D,)), jnp.float32)
+    w3s = jnp.asarray(
+        rng.normal(0, 0.03, (N, H * D, 3 * H * D)), jnp.bfloat16)
+    for bq in (128, 256):
+        fn = make_scanned_producer_loop(bq)
+        try:
+            ms, calls = device_profile(fn, x, w3s, bias3, table,
+                                       outdir=f"/tmp/jt_packed_sp_{bq}")
+            print(f"scanned-w producer bq={bq}: {ms/max(calls,1):7.3f} "
+                  f"ms/call ({calls} calls)", flush=True)
+        except Exception as e:
+            print(f"scanned-w producer bq={bq}: FAIL {type(e).__name__} "
+                  f"{str(e)[:120]}", flush=True)
     for bq in (128, 256):
         fn = make_producer_loop(bq)
         try:

@@ -55,8 +55,11 @@ NEG_INF = -1e30
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, B, H, C, Dh)
-    v: jax.Array  # (L, B, H, C, Dh)
+    # (L, B, C, H*Dh): slots on the sublane axis, heads*Dh packed on the
+    # minor axis — a Dh=64 minor dim would be padded to the 128-lane tile
+    # in HBM (2x the bytes of the actual cache); H*Dh=1024 tiles exactly.
+    k: jax.Array  # (L, B, C, H*Dh)
+    v: jax.Array  # (L, B, C, H*Dh)
     valid: jax.Array  # (B, C) bool — which slots hold real keys
     length: jax.Array  # () int32 — next write offset
 
@@ -184,7 +187,11 @@ def prefill(params, cfg: ARConfig, text_ids: jax.Array,
 
     s = x.shape[1]
     cache_dtype = compute_dtype or jnp.float32
-    pad = [(0, 0)] * 3 + [(0, cfg.cache_len - s), (0, 0)]
+    l_, b_ = ks.shape[0], ks.shape[1]
+    # (L, B, H, S, Dh) -> (L, B, S, H*Dh) packed cache layout
+    ks = ks.transpose(0, 1, 3, 2, 4).reshape(l_, b_, s, -1)
+    vs = vs.transpose(0, 1, 3, 2, 4).reshape(l_, b_, s, -1)
+    pad = [(0, 0)] * 2 + [(0, cfg.cache_len - s), (0, 0)]
     k = jnp.pad(ks.astype(cache_dtype), pad)
     v = jnp.pad(vs.astype(cache_dtype), pad)
     valid = jnp.pad(seq_valid, [(0, 0), (0, cfg.cache_len - s)])
@@ -223,27 +230,35 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
     scale = jnp.sqrt(jnp.float32(cfg.d_head))
 
     def layer(h, xs):
-        block, k_l, v_l = xs
+        block, k_l, v_l = xs                               # (B, C, H*Dh)
         y = layer_norm(h, block["ln1_w"], block["ln1_b"], cfg.ln_eps)
         qkv = pdot(y, block["attn_w"], compute_dtype) + block["attn_b"]
         if qkv_f16:
             qkv = qkv.astype(jnp.float16).astype(jnp.float32)
         qkv = qkv.reshape(b, 3, h_, dh)
         q, k_new, v_new = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # (B, H, Dh)
-        scores = pdot(q[:, :, None, :], k_l.swapaxes(-1, -2),
-                      compute_dtype) / scale               # (B, H, 1, C)
-        scores = (scores + bias).astype(jnp.float32)
+        k4 = k_l.reshape(b, -1, h_, dh)                    # (B, C, H, Dh)
+        v4 = v_l.reshape(b, -1, h_, dh)
+        qc = q.astype(compute_dtype) if compute_dtype else q
+        scores = (jnp.einsum("bhd,bchd->bhc", qc,
+                             k4.astype(qc.dtype),
+                             preferred_element_type=jnp.float32)
+                  / scale)                                 # (B, H, C)
+        scores = scores + bias[:, :, 0]                    # bias (B,1,1,C)
         self_score = (jnp.sum(
             q.astype(jnp.float32) * k_new.astype(jnp.float32), axis=-1)
             / scale)[:, :, None]                           # (B, H, 1)
         # softmax over [cache scores | fresh-token score] WITHOUT
         # concatenating to a (C+1)-lane array (mis-tiled on TPU): fold the
         # scalar self term into the max/denominator explicitly
-        m = jnp.maximum(jnp.max(scores, axis=-1), self_score)  # (B, H, 1)
-        e_cache = jnp.exp(scores - m[..., None])
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True),
+                        self_score)                        # (B, H, 1)
+        e_cache = jnp.exp(scores - m)                      # (B, H, C)
         e_self = jnp.exp(self_score - m)                   # (B, H, 1)
-        denom = jnp.sum(e_cache, axis=-1) + e_self         # (B, H, 1)
-        ctx = (pdot(e_cache.astype(q.dtype), v_l, compute_dtype)[:, :, 0]
+        denom = jnp.sum(e_cache, axis=-1, keepdims=True) + e_self
+        ctx = (jnp.einsum("bhc,bchd->bhd", e_cache.astype(qc.dtype),
+                          v4.astype(qc.dtype),
+                          preferred_element_type=jnp.float32)
                + e_self * v_new.astype(jnp.float32)) / denom
         merged = ctx.reshape(b, h_ * dh)
         attn = pdot(merged, block["proj_w"], compute_dtype) \
@@ -256,12 +271,13 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
 
     h, (k_rows, v_rows) = jax.lax.scan(
         layer, x, (params["blocks"], cache.k, cache.v))
+    l_ = k_rows.shape[0]
     k = jax.lax.dynamic_update_slice(
-        cache.k, k_rows[:, :, :, None, :].astype(cache.k.dtype),
-        (0, 0, 0, n, 0))
+        cache.k, k_rows.reshape(l_, b, 1, h_ * dh).astype(cache.k.dtype),
+        (0, 0, n, 0))
     v = jax.lax.dynamic_update_slice(
-        cache.v, v_rows[:, :, :, None, :].astype(cache.v.dtype),
-        (0, 0, 0, n, 0))
+        cache.v, v_rows.reshape(l_, b, 1, h_ * dh).astype(cache.v.dtype),
+        (0, 0, n, 0))
     logits = _head(params, h, cfg, compute_dtype)
     valid = cache.valid.at[:, n].set(True)
     return logits, KVCache(k, v, valid, n + 1)
