@@ -259,9 +259,18 @@ def code_embeddings(params, cfg: DiffusionConfig, latents, lat_buckets,
     (possibly traced) lengths used for the nearest-upscale indices."""
     cond = latent_conditioner(params, cfg, latents, lat_buckets, lat_mask,
                               compute_dtype)  # (B, L, C) time-major
+
+    def onehot_upsample(idx):
+        # row gather as a one-hot matmul: XLA:TPU gathers run ~200x slower
+        # than the MXU for this (22.7 ms vs ~0.1 ms at production shapes)
+        oh = (idx[..., :, None]
+              == jnp.arange(cond.shape[1])).astype(cond.dtype)
+        return jnp.matmul(oh, cond, preferred_element_type=jnp.float32
+                          ).astype(cond.dtype)
+
     if lat_len is None:
         idx = (jnp.arange(out_len_pad) * cond.shape[1]) // out_len_pad
-        up = jnp.take(cond, idx, axis=1)
+        up = onehot_upsample(idx)
     else:
         # bucketed: nearest indices computed from the true lengths
         # (scalars or per-row (B,) for batched serving)
@@ -271,7 +280,7 @@ def code_embeddings(params, cfg: DiffusionConfig, latents, lat_buckets,
             idx = (jnp.arange(out_len_pad) * lat_len) // jnp.maximum(
                 out_len, 1)
             idx = jnp.clip(idx, 0, jnp.maximum(lat_len - 1, 0))
-            up = jnp.take(cond, idx, axis=1)
+            up = onehot_upsample(idx)
         else:
             b = cond.shape[0]
             lat_len = jnp.broadcast_to(lat_len, (b,))
@@ -279,10 +288,7 @@ def code_embeddings(params, cfg: DiffusionConfig, latents, lat_buckets,
             idx = (jnp.arange(out_len_pad)[None, :] * lat_len[:, None]) \
                 // jnp.maximum(out_len[:, None], 1)
             idx = jnp.clip(idx, 0, jnp.maximum(lat_len[:, None] - 1, 0))
-            up = jnp.take_along_axis(
-                cond, jnp.broadcast_to(
-                    idx[:, :, None],
-                    (b, out_len_pad) + cond.shape[-1:]), axis=1)
+            up = onehot_upsample(idx)
     uncond = jnp.broadcast_to(
         params["uncond"][None, None, :], up.shape
     ).astype(up.dtype)
