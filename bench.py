@@ -55,8 +55,12 @@ def main() -> int:
             "BENCH_NO_FLASH") != "1":
         models.diffusion_cfg = dataclasses.replace(models.diffusion_cfg,
                                                    use_flash=True)
-        models.vocoder_cfg = dataclasses.replace(models.vocoder_cfg,
-                                                 use_pallas_lvc=True)
+        # the XLA LVC path measures faster than the Pallas kernel at
+        # production shapes (65 vs 99 ms/pass, scripts/ubench_vocoder.py);
+        # opt back in with BENCH_PALLAS_LVC=1
+        models.vocoder_cfg = dataclasses.replace(
+            models.vocoder_cfg,
+            use_pallas_lvc=os.environ.get("BENCH_PALLAS_LVC") == "1")
     rng = np.random.default_rng(0)
     tokens = [255] + rng.integers(
         3, models.ar_cfg.n_text_vocab, size=24

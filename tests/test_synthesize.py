@@ -165,3 +165,19 @@ def test_cli_seed_defaults_to_wall_clock(monkeypatch, tmp_path):
                   "--diffusion-steps", "2", "--output", out])
     assert len(seeds) == 2 and seeds[0] != seeds[1]
     assert all(isinstance(s, int) for s in seeds)
+
+
+def test_device_path_matches_legacy(models):
+    """The device-resident stage handoff (progress=None) must produce the
+    same audio/mel as the legacy host-boundary path (forced via a progress
+    callback) for the same seed."""
+    voice = np.random.default_rng(2).normal(
+        0, 0.5, (models.ar_cfg.d_model,)).astype(np.float32)
+    fast = synthesize(models, tokens=_tokens(models), voice=voice, seed=9)
+    legacy = synthesize(models, tokens=_tokens(models), voice=voice, seed=9,
+                        progress=lambda f: None)
+    assert fast.sequences == legacy.sequences
+    np.testing.assert_allclose(fast.mel, legacy.mel, atol=2e-5)
+    np.testing.assert_allclose(fast.audio, legacy.audio, atol=2e-4)
+    for a, b in zip(fast.latents, legacy.latents):
+        np.testing.assert_allclose(a, b, atol=1e-5)

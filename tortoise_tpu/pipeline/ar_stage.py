@@ -110,13 +110,13 @@ def apply_padding(seq: List[int], cfg: ARConfig = ARConfig()) -> List[int]:
     return out
 
 
-def trim_latents(latents: np.ndarray, padded_sequences: Sequence[Sequence[int]],
-                 cfg: ARConfig = ARConfig()) -> List[np.ndarray]:
-    """latents: (B, pad_mel_length, D); padded_sequences: B x 502 ids.
-    Returns per-sequence (n_i, D) arrays, keeping positions until more than
-    8 consecutive calm tokens have accumulated (main.cpp:4870-4915)."""
+def trim_keep_lengths(padded_sequences: Sequence[Sequence[int]],
+                      cfg: ARConfig = ARConfig()) -> List[int]:
+    """Per-sequence latent keep count: positions until more than 8
+    consecutive calm tokens have accumulated (main.cpp:4870-4915). Pure
+    token-stream math — needs no latent download."""
     out = []
-    for b, seq in enumerate(padded_sequences):
+    for seq in padded_sequences:
         codes = list(seq)[1:-1]  # drop start/stop
         calm = 0
         keep = 0
@@ -125,8 +125,16 @@ def trim_latents(latents: np.ndarray, padded_sequences: Sequence[Sequence[int]],
             if calm > 8:
                 break
             keep = c + 1
-        out.append(np.asarray(latents[b, :keep]))
+        out.append(keep)
     return out
+
+
+def trim_latents(latents: np.ndarray, padded_sequences: Sequence[Sequence[int]],
+                 cfg: ARConfig = ARConfig()) -> List[np.ndarray]:
+    """latents: (B, pad_mel_length, D); padded_sequences: B x 502 ids.
+    Returns per-sequence (n_i, D) arrays (main.cpp:4870-4915)."""
+    keeps = trim_keep_lengths(padded_sequences, cfg)
+    return [np.asarray(latents[b, :keep]) for b, keep in enumerate(keeps)]
 
 
 # ---------------------------------------------------------------------------
@@ -236,11 +244,16 @@ def autoregressive_batch(
     qkv_f16: bool = False,
     mesh=None,
     int8_weights: bool = False,
-) -> Tuple[List[np.ndarray], List[List[int]]]:
+    return_device_latents: bool = False,
+) -> Tuple:
     """Batched serving path: different token sequences per row (list of id
     lists) with per-row voices (B, d) or one shared (d,) latent. Rows are
     padded to a common text bucket with masking; the on-device sample loop
-    runs all rows together. Returns (trimmed_latents, padded_sequences).
+    runs all rows together. Returns (trimmed_latents, padded_sequences) —
+    or, with return_device_latents, the DEVICE (B, 500, D) latent array
+    plus per-row keep lengths: (latents_dev, keep_lens, padded_sequences),
+    skipping the latent round trip through the host (~0.15 s through the
+    remote-TPU tunnel; the next stage consumes them on device).
 
     The first-step repetition penalty targets the prefill filler id set
     {1, start}, which is length-independent, so mixed text lengths share
@@ -287,6 +300,8 @@ def autoregressive_batch(
         mel_ids = place_batch(np.asarray(padded, np.int32), mesh)
         latents = _latents_jit(params, cfg, text_sh, valid_sh, mel_ids,
                                voice_sh, compute_dtype, qkv_f16)
+    if return_device_latents:
+        return latents, trim_keep_lengths(padded, cfg), padded
     trimmed = trim_latents(np.asarray(latents), padded, cfg)
     return trimmed, padded
 
@@ -303,9 +318,12 @@ def autoregressive(
     compute_dtype=None,
     qkv_f16: bool = False,
     int8_weights: bool = False,
-) -> Tuple[List[np.ndarray], List[List[int]]]:
+    return_device_latents: bool = False,
+) -> Tuple:
     """Run stage 1. Returns (trimmed_latents, padded_sequences), the exact
-    analogue of the reference's return pair (main.cpp:5365-5366).
+    analogue of the reference's return pair (main.cpp:5365-5366) — or,
+    with return_device_latents, (latents_dev (B, 500, D) on device,
+    keep_lens, padded_sequences), skipping the host round trip.
 
     sampler="jax": on-device loop, seeded by `seed`.
     sampler="reference": host loop driven by `rng` (a ReferenceRng) with the
@@ -374,5 +392,7 @@ def autoregressive(
     latents = _latents_jit(params, cfg, jnp.asarray(text_ids),
                            jnp.asarray(text_valid), mel_ids, voice,
                            compute_dtype, qkv_f16)
+    if return_device_latents:
+        return latents, trim_keep_lengths(padded, cfg), padded
     trimmed = trim_latents(np.asarray(latents), padded, cfg)
     return trimmed, padded

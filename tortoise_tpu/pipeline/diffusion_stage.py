@@ -285,6 +285,67 @@ def diffusion_batch(
     return [x[i, :, : out_lens[i]] for i in range(b)]
 
 
+def diffusion_batch_device(
+    params,
+    latents_dev,
+    keep_lens,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    seed: int = 0,
+    variance_swap: bool = True,
+    compute_dtype=None,
+    mesh=None,
+):
+    """Device-resident serving path: AR latents stay on device
+    (autoregressive_batch(return_device_latents=True)) and the mel comes
+    back as a DEVICE (B, n_mel, out_pad) array + per-row lengths — no
+    host round trip at either stage boundary (~0.15 s each through the
+    remote-TPU tunnel). Returns (mel_dev, out_lens np.ndarray)."""
+    from tortoise_tpu.pipeline.common import ensure_device
+
+    params = ensure_device(params)
+    b = latents_dev.shape[0]
+    lat_lens = np.asarray(keep_lens, np.int32)
+    out_lens = np.asarray([mel_length_for_latents(int(n)) for n in lat_lens],
+                          np.int32)
+    lat_pad = round_up(int(lat_lens.max()), LAT_BUCKET)
+    out_pad = round_up(int(out_lens.max()), OUT_BUCKET)
+
+    if lat_pad <= latents_dev.shape[1]:
+        lat_in = latents_dev[:, :lat_pad]
+    else:
+        lat_in = jnp.pad(latents_dev,
+                         ((0, 0), (0, lat_pad - latents_dev.shape[1]),
+                          (0, 0)))
+    lat_mask = np.zeros((b, lat_pad), bool)
+    out_mask = np.zeros((b, out_pad), bool)
+    for i in range(b):
+        lat_mask[i, : lat_lens[i]] = True
+        out_mask[i, : out_lens[i]] = True
+    lat_mask_opt = None if lat_mask.all() else lat_mask
+    out_mask_opt = None if out_mask.all() else out_mask
+
+    lat_buckets = _buckets_dev(lat_pad, cfg.rel_pos_buckets,
+                               cfg.rel_pos_max_distance)
+    out_buckets = _buckets_dev(out_pad, cfg.rel_pos_buckets,
+                               cfg.rel_pos_max_distance)
+    sched = _schedule_arrays(cfg)
+
+    from tortoise_tpu.parallel import place_batch
+
+    with mesh_context(mesh):
+        key = jax.random.PRNGKey(seed)
+        mel_dev = _diffusion_all_jit(
+            params, cfg, sched, lat_in, lat_buckets,
+            place_batch(lat_lens, mesh), place_batch(out_lens, mesh),
+            out_pad,
+            None if lat_mask_opt is None else place_batch(lat_mask_opt, mesh),
+            out_buckets,
+            None if out_mask_opt is None else place_batch(out_mask_opt, mesh),
+            key, variance_swap, compute_dtype,
+        )
+    return mel_dev, out_lens
+
+
 def diffusion(
     params,
     latents: np.ndarray,

@@ -167,25 +167,61 @@ def synthesize_batch(
 
     models.to_device()
     timings = {}
-    t0 = time.monotonic()
-    latents, sequences = autoregressive_batch(
-        models.ar_params, tokens_list, voices, models.ar_cfg, seed=seed,
-        compute_dtype=compute_dtype, mesh=mesh, int8_weights=int8_weights,
-    )
-    timings["autoregressive_s"] = time.monotonic() - t0
+    if mesh is None and progress is None:
+        # device-resident stage handoff (single-device; sharded inputs
+        # follow the legacy path until place_batch learns device arrays)
+        from tortoise_tpu.pipeline.diffusion_stage import (
+            diffusion_batch_device,
+        )
+        from tortoise_tpu.pipeline.vocoder_stage import vocoder_batch_device
 
-    t0 = time.monotonic()
-    mels = diffusion_batch(models.diffusion_params, latents,
-                           models.diffusion_cfg, seed=seed + 1,
-                           compute_dtype=compute_dtype, mesh=mesh,
-                           progress=progress)
-    timings["diffusion_s"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        lat_dev, keeps, sequences = autoregressive_batch(
+            models.ar_params, tokens_list, voices, models.ar_cfg,
+            seed=seed, compute_dtype=compute_dtype,
+            int8_weights=int8_weights, return_device_latents=True,
+        )
+        timings["autoregressive_s"] = time.monotonic() - t0
 
-    t0 = time.monotonic()
-    audios = vocoder_batch(models.vocoder_params, mels, models.vocoder_cfg,
-                           seed=seed + 2, compute_dtype=compute_dtype,
-                           mesh=mesh)
-    timings["vocoder_s"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        mel_dev, out_lens = diffusion_batch_device(
+            models.diffusion_params, lat_dev, keeps, models.diffusion_cfg,
+            seed=seed + 1, compute_dtype=compute_dtype,
+        )
+        timings["diffusion_s"] = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        audios = vocoder_batch_device(
+            models.vocoder_params, mel_dev, out_lens, models.vocoder_cfg,
+            seed=seed + 2, compute_dtype=compute_dtype,
+        )
+        timings["vocoder_s"] = time.monotonic() - t0
+
+        mel_h = np.asarray(mel_dev)
+        lat_h = np.asarray(lat_dev)
+        mels = [mel_h[i, :, : out_lens[i]] for i in range(b)]
+        latents = [lat_h[i, : keeps[i]] for i in range(b)]
+    else:
+        t0 = time.monotonic()
+        latents, sequences = autoregressive_batch(
+            models.ar_params, tokens_list, voices, models.ar_cfg,
+            seed=seed, compute_dtype=compute_dtype, mesh=mesh,
+            int8_weights=int8_weights,
+        )
+        timings["autoregressive_s"] = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        mels = diffusion_batch(models.diffusion_params, latents,
+                               models.diffusion_cfg, seed=seed + 1,
+                               compute_dtype=compute_dtype, mesh=mesh,
+                               progress=progress)
+        timings["diffusion_s"] = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        audios = vocoder_batch(models.vocoder_params, mels,
+                               models.vocoder_cfg, seed=seed + 2,
+                               compute_dtype=compute_dtype, mesh=mesh)
+        timings["vocoder_s"] = time.monotonic() - t0
 
     return [
         SynthesisResult(
@@ -234,30 +270,60 @@ def synthesize(
 
     models.to_device()
     timings = {}
-    t0 = time.monotonic()
-    latents, sequences = ar_stage.autoregressive(
-        models.ar_params, tokens, voice, batch_size, models.ar_cfg,
-        sampler=sampler, seed=seed, rng=rng, compute_dtype=compute_dtype,
-        int8_weights=int8_weights,
-    )
-    timings["autoregressive_s"] = time.monotonic() - t0
+    if sampler == "jax" and rng is None and progress is None:
+        # device-resident fast path: latents and mel never round-trip
+        # through the host between stages (~0.3 s of tunnel transfers)
+        t0 = time.monotonic()
+        lat_dev, keeps, sequences = ar_stage.autoregressive(
+            models.ar_params, tokens, voice, batch_size, models.ar_cfg,
+            sampler=sampler, seed=seed, compute_dtype=compute_dtype,
+            int8_weights=int8_weights, return_device_latents=True,
+        )
+        timings["autoregressive_s"] = time.monotonic() - t0
 
-    # like the reference CLI, synthesize from the first candidate
-    # (main.cpp:6577-6579)
-    t0 = time.monotonic()
-    mel = diffusion_stage.diffusion(
-        models.diffusion_params, latents[0], models.diffusion_cfg,
-        seed=seed + 1, rng=rng, compute_dtype=compute_dtype,
-        progress=progress,
-    )
-    timings["diffusion_s"] = time.monotonic() - t0
+        # like the reference CLI, synthesize from the first candidate
+        # (main.cpp:6577-6579)
+        t0 = time.monotonic()
+        mel_dev, out_lens = diffusion_stage.diffusion_batch_device(
+            models.diffusion_params, lat_dev[0:1], [keeps[0]],
+            models.diffusion_cfg, seed=seed + 1,
+            compute_dtype=compute_dtype,
+        )
+        timings["diffusion_s"] = time.monotonic() - t0
 
-    t0 = time.monotonic()
-    audio = vocoder_stage.vocoder(
-        models.vocoder_params, mel, models.vocoder_cfg, seed=seed + 2,
-        rng=rng, compute_dtype=compute_dtype,
-    )
-    timings["vocoder_s"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        audio = vocoder_stage.vocoder_batch_device(
+            models.vocoder_params, mel_dev, out_lens, models.vocoder_cfg,
+            seed=seed + 2, compute_dtype=compute_dtype,
+        )[0]
+        timings["vocoder_s"] = time.monotonic() - t0
+
+        mel = np.asarray(mel_dev)[0, :, : out_lens[0]]
+        latents = [np.asarray(lat_dev[b, : keeps[b]])
+                   for b in range(lat_dev.shape[0])]
+    else:
+        t0 = time.monotonic()
+        latents, sequences = ar_stage.autoregressive(
+            models.ar_params, tokens, voice, batch_size, models.ar_cfg,
+            sampler=sampler, seed=seed, rng=rng,
+            compute_dtype=compute_dtype, int8_weights=int8_weights,
+        )
+        timings["autoregressive_s"] = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        mel = diffusion_stage.diffusion(
+            models.diffusion_params, latents[0], models.diffusion_cfg,
+            seed=seed + 1, rng=rng, compute_dtype=compute_dtype,
+            progress=progress,
+        )
+        timings["diffusion_s"] = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        audio = vocoder_stage.vocoder(
+            models.vocoder_params, mel, models.vocoder_cfg, seed=seed + 2,
+            rng=rng, compute_dtype=compute_dtype,
+        )
+        timings["vocoder_s"] = time.monotonic() - t0
 
     return SynthesisResult(
         audio=audio,

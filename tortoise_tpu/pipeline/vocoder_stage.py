@@ -41,6 +41,56 @@ def _vocoder_jit(params, cfg, mel, noise, mel_len, compute_dtype=None):
                                   compute_dtype)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "pad_total", "compute_dtype"))
+def _vocoder_dev_jit(params, cfg, mel_norm, mel_lens, pad_total, key,
+                     compute_dtype=None):
+    """Device-resident entry: mel_norm (B, n_mel, T) still NORMALIZED and
+    zero-padded past per-row `mel_lens` — denormalize, write the 10
+    MEL_PAD_VALUE frames at the traced row boundaries, draw noise, and
+    vocode, all in one dispatch."""
+    b, n_mel, t = mel_norm.shape
+    mel_can = jnp.pad(mel_norm, ((0, 0), (0, 0), (0, pad_total - t))) \
+        if pad_total > t else mel_norm[:, :, :pad_total]
+    idx = jnp.arange(pad_total)[None, None, :]
+    lens = jnp.asarray(mel_lens)[:, None, None]
+    mel_v = jnp.where(
+        idx < lens, denormalize_tacotron_mel(mel_can),
+        jnp.where(idx < lens + cfg.mel_pad_frames, MEL_PAD_VALUE, 0.0))
+    noise = jax.random.normal(key, (b, cfg.noise_ch, pad_total))
+    totals = jnp.asarray(mel_lens) + cfg.mel_pad_frames
+    return vmodel.vocoder_forward(params, cfg, mel_v, noise, totals,
+                                  compute_dtype)
+
+
+def vocoder_batch_device(
+    params,
+    mel_dev,
+    mel_lens,
+    cfg: VocoderConfig = VocoderConfig(),
+    seed: int = 0,
+    compute_dtype=None,
+    mesh=None,
+):
+    """Device-resident serving path: consumes the diffusion stage's
+    (B, n_mel, T) normalized device mel directly (no host round trip).
+    Returns a list of per-row audio arrays."""
+    from tortoise_tpu.pipeline.common import ensure_device
+
+    params = ensure_device(params)
+    lens = np.asarray(mel_lens, np.int32)
+    totals = lens + cfg.mel_pad_frames
+    pad_total = round_up(int(totals.max()), MEL_BUCKET)
+    key = jax.random.PRNGKey(seed)
+    with mesh_context(mesh):
+        audio = np.asarray(_vocoder_dev_jit(
+            params, cfg, mel_dev, jnp.asarray(lens), pad_total, key,
+            compute_dtype,
+        ))
+    return [audio[i, : totals[i] * cfg.total_upsample - 6]
+            for i in range(len(lens))]
+
+
 def vocoder_batch(
     params,
     mel_list,
