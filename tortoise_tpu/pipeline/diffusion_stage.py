@@ -310,12 +310,15 @@ def diffusion_batch_device(
     lat_pad = round_up(int(lat_lens.max()), LAT_BUCKET)
     out_pad = round_up(int(out_lens.max()), OUT_BUCKET)
 
+    from tortoise_tpu.parallel import place_batch
+
     if lat_pad <= latents_dev.shape[1]:
         lat_in = latents_dev[:, :lat_pad]
     else:
         lat_in = jnp.pad(latents_dev,
                          ((0, 0), (0, lat_pad - latents_dev.shape[1]),
                           (0, 0)))
+    lat_in = place_batch(lat_in, mesh)
     lat_mask = np.zeros((b, lat_pad), bool)
     out_mask = np.zeros((b, out_pad), bool)
     for i in range(b):
@@ -329,8 +332,6 @@ def diffusion_batch_device(
     out_buckets = _buckets_dev(out_pad, cfg.rel_pos_buckets,
                                cfg.rel_pos_max_distance)
     sched = _schedule_arrays(cfg)
-
-    from tortoise_tpu.parallel import place_batch
 
     with mesh_context(mesh):
         key = jax.random.PRNGKey(seed)

@@ -167,9 +167,10 @@ def synthesize_batch(
 
     models.to_device()
     timings = {}
-    if mesh is None and progress is None:
-        # device-resident stage handoff (single-device; sharded inputs
-        # follow the legacy path until place_batch learns device arrays)
+    if progress is None:
+        # device-resident stage handoff: latents and mel never round-trip
+        # through the host between stages; place_batch reshards the device
+        # arrays over the dp axis when a mesh is given
         from tortoise_tpu.pipeline.diffusion_stage import (
             diffusion_batch_device,
         )
@@ -178,7 +179,7 @@ def synthesize_batch(
         t0 = time.monotonic()
         lat_dev, keeps, sequences = autoregressive_batch(
             models.ar_params, tokens_list, voices, models.ar_cfg,
-            seed=seed, compute_dtype=compute_dtype,
+            seed=seed, compute_dtype=compute_dtype, mesh=mesh,
             int8_weights=int8_weights, return_device_latents=True,
         )
         timings["autoregressive_s"] = time.monotonic() - t0
@@ -186,14 +187,14 @@ def synthesize_batch(
         t0 = time.monotonic()
         mel_dev, out_lens = diffusion_batch_device(
             models.diffusion_params, lat_dev, keeps, models.diffusion_cfg,
-            seed=seed + 1, compute_dtype=compute_dtype,
+            seed=seed + 1, compute_dtype=compute_dtype, mesh=mesh,
         )
         timings["diffusion_s"] = time.monotonic() - t0
 
         t0 = time.monotonic()
         audios = vocoder_batch_device(
             models.vocoder_params, mel_dev, out_lens, models.vocoder_cfg,
-            seed=seed + 2, compute_dtype=compute_dtype,
+            seed=seed + 2, compute_dtype=compute_dtype, mesh=mesh,
         )
         timings["vocoder_s"] = time.monotonic() - t0
 
