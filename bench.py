@@ -69,12 +69,12 @@ def main() -> int:
 
     int8 = os.environ.get("BENCH_INT8") == "1"
 
-    def run(seed):
+    def run(seed, stage_sync=False):
         t0 = time.monotonic()
         result = synthesize(models, tokens=tokens, voice=voice, seed=seed,
                             batch_size=1, sampler="jax",
                             compute_dtype=compute_dtype,
-                            int8_weights=int8)
+                            int8_weights=int8, stage_sync=stage_sync)
         wall = time.monotonic() - t0
         return result, wall
 
@@ -86,6 +86,11 @@ def main() -> int:
     n_timed = 1 if small else int(os.environ.get("BENCH_REPS", "3"))
     runs = [run(1 + i) for i in range(n_timed)]
     result, wall = min(runs, key=lambda rw: rw[1])
+    # the async device-handoff path defers stage completion to the next
+    # stage's first use; take the per-stage split from one synced pass
+    # (wall/RTF still come from the async passes)
+    result_sync, _ = run(1, stage_sync=True)
+    result = dataclasses.replace(result, timings=result_sync.timings)
 
     audio_s = len(result.audio) / result.sample_rate
     rtf = wall / max(audio_s, 1e-9)
@@ -118,14 +123,16 @@ def main() -> int:
             for i in range(bsz)
         ]
 
-        def run_batch(seed):
+        def run_batch(seed, stage_sync=False):
             t0 = time.monotonic()
             rs = synthesize_batch(models, tokens_list=tlists, voices=voice,
-                                  seed=seed, compute_dtype=compute_dtype)
+                                  seed=seed, compute_dtype=compute_dtype,
+                                  stage_sync=stage_sync)
             return rs, time.monotonic() - t0
 
         _, bcompile = run_batch(0)  # warmup/compile
         rs, bwall = run_batch(1)
+        rs_sync, _ = run_batch(1, stage_sync=True)
         btotal = sum(len(r.audio) / r.sample_rate for r in rs)
         line["batched"] = {
             "batch": bsz,
@@ -133,7 +140,8 @@ def main() -> int:
             "audio_s_total": round(btotal, 3),
             "aggregate_rtf": round(bwall / max(btotal, 1e-9), 5),
             "first_run_s": round(bcompile, 3),
-            "stages_s": {k: round(v, 3) for k, v in rs[0].timings.items()},
+            "stages_s": {k: round(v, 3)
+                         for k, v in rs_sync[0].timings.items()},
         }
 
     print(json.dumps(line))

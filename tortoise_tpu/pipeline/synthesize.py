@@ -109,6 +109,14 @@ class TortoiseModels:
         )
 
 
+def _sync(x) -> None:
+    """Force completion of a device array (block_until_ready can return
+    early over the remote-TPU tunnel; a 1-element read is reliable)."""
+    import jax.numpy as jnp
+
+    np.asarray(jnp.ravel(x)[:1])
+
+
 @dataclasses.dataclass
 class SynthesisResult:
     audio: np.ndarray
@@ -134,6 +142,7 @@ def synthesize_batch(
     mesh=None,
     progress=None,
     int8_weights: bool = False,
+    stage_sync: bool = False,
 ) -> List[SynthesisResult]:
     """Batched serving path: synthesize several utterances together. Each
     stage runs one batched on-device computation with per-row masked
@@ -182,6 +191,8 @@ def synthesize_batch(
             seed=seed, compute_dtype=compute_dtype, mesh=mesh,
             int8_weights=int8_weights, return_device_latents=True,
         )
+        if stage_sync:
+            _sync(lat_dev)
         timings["autoregressive_s"] = time.monotonic() - t0
 
         t0 = time.monotonic()
@@ -189,6 +200,8 @@ def synthesize_batch(
             models.diffusion_params, lat_dev, keeps, models.diffusion_cfg,
             seed=seed + 1, compute_dtype=compute_dtype, mesh=mesh,
         )
+        if stage_sync:
+            _sync(mel_dev)
         timings["diffusion_s"] = time.monotonic() - t0
 
         t0 = time.monotonic()
@@ -251,6 +264,7 @@ def synthesize(
     tokenizer_method: str = "greedy",
     progress=None,
     int8_weights: bool = False,
+    stage_sync: bool = False,
 ) -> SynthesisResult:
     """Run the full pipeline. Provide `message` (tokenized via the models'
     tokenizer) or raw wrapped `tokens`. `voice` is a 1024-f32 latent array
@@ -280,6 +294,8 @@ def synthesize(
             sampler=sampler, seed=seed, compute_dtype=compute_dtype,
             int8_weights=int8_weights, return_device_latents=True,
         )
+        if stage_sync:
+            _sync(lat_dev)
         timings["autoregressive_s"] = time.monotonic() - t0
 
         # like the reference CLI, synthesize from the first candidate
@@ -290,6 +306,8 @@ def synthesize(
             models.diffusion_cfg, seed=seed + 1,
             compute_dtype=compute_dtype,
         )
+        if stage_sync:
+            _sync(mel_dev)
         timings["diffusion_s"] = time.monotonic() - t0
 
         t0 = time.monotonic()
