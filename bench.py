@@ -74,7 +74,8 @@ def main() -> int:
         result = synthesize(models, tokens=tokens, voice=voice, seed=seed,
                             batch_size=1, sampler="jax",
                             compute_dtype=compute_dtype,
-                            int8_weights=int8, stage_sync=stage_sync)
+                            int8_weights=int8, stage_sync=stage_sync,
+                            materialize=False)
         wall = time.monotonic() - t0
         return result, wall
 
@@ -87,10 +88,12 @@ def main() -> int:
     runs = [run(1 + i) for i in range(n_timed)]
     result, wall = min(runs, key=lambda rw: rw[1])
     # the async device-handoff path defers stage completion to the next
-    # stage's first use; take the per-stage split from one synced pass
-    # (wall/RTF still come from the async passes)
-    result_sync, _ = run(1, stage_sync=True)
-    result = dataclasses.replace(result, timings=result_sync.timings)
+    # stage's first use; take the per-stage split from synced passes
+    # (wall/RTF still come from the async passes; best-of-2 rides out the
+    # shared-slice variance)
+    syncs = [run(1, stage_sync=True)[0] for _ in range(2)]
+    best = min(syncs, key=lambda r: sum(r.timings.values()))
+    result = dataclasses.replace(result, timings=best.timings)
 
     audio_s = len(result.audio) / result.sample_rate
     rtf = wall / max(audio_s, 1e-9)
@@ -127,7 +130,7 @@ def main() -> int:
             t0 = time.monotonic()
             rs = synthesize_batch(models, tokens_list=tlists, voices=voice,
                                   seed=seed, compute_dtype=compute_dtype,
-                                  stage_sync=stage_sync)
+                                  stage_sync=stage_sync, materialize=False)
             return rs, time.monotonic() - t0
 
         _, bcompile = run_batch(0)  # warmup/compile
@@ -173,7 +176,13 @@ def roofline_stats(models, result, use_bf16: bool,
     ar_ms = result.timings["autoregressive_s"] * 1e3 / n_steps
     ar_floor_ms = ar_bytes / HBM_GBPS * 1e3
 
-    t = result.mel.shape[-1]
+    if result.mel is not None:
+        t = result.mel.shape[-1]
+    else:
+        # audio = (t + pad_frames) * upsample - 6 samples
+        vcfg = models.vocoder_cfg
+        t = ((len(result.audio) + 6) // vcfg.total_upsample
+             - vcfg.mel_pad_frames)
     dd, hh = dcfg.d_model, dcfg.n_head
     res_flops = 2 * t * (dd * dd + 3 * dd * dd)        # k1 + k3 convs
     attn_flops = 2 * t * (dd * 3 * dd + dd * dd) + 4 * t * t * dd

@@ -143,6 +143,7 @@ def synthesize_batch(
     progress=None,
     int8_weights: bool = False,
     stage_sync: bool = False,
+    materialize: bool = True,
 ) -> List[SynthesisResult]:
     """Batched serving path: synthesize several utterances together. Each
     stage runs one batched on-device computation with per-row masked
@@ -211,10 +212,16 @@ def synthesize_batch(
         )
         timings["vocoder_s"] = time.monotonic() - t0
 
-        mel_h = np.asarray(mel_dev)
-        lat_h = np.asarray(lat_dev)
-        mels = [mel_h[i, :, : out_lens[i]] for i in range(b)]
-        latents = [lat_h[i, : keeps[i]] for i in range(b)]
+        if materialize:
+            mel_h = np.asarray(mel_dev)
+            lat_h = np.asarray(lat_dev)
+            mels = [mel_h[i, :, : out_lens[i]] for i in range(b)]
+            latents = [lat_h[i, : keeps[i]] for i in range(b)]
+        else:
+            # serving mode: skip the mel/latent downloads (~0.12 s through
+            # the remote-TPU tunnel); fields stay None
+            mels = [None] * b
+            latents = [None] * b
     else:
         t0 = time.monotonic()
         latents, sequences = autoregressive_batch(
@@ -265,6 +272,7 @@ def synthesize(
     progress=None,
     int8_weights: bool = False,
     stage_sync: bool = False,
+    materialize: bool = True,
 ) -> SynthesisResult:
     """Run the full pipeline. Provide `message` (tokenized via the models'
     tokenizer) or raw wrapped `tokens`. `voice` is a 1024-f32 latent array
@@ -317,9 +325,14 @@ def synthesize(
         )[0]
         timings["vocoder_s"] = time.monotonic() - t0
 
-        mel = np.asarray(mel_dev)[0, :, : out_lens[0]]
-        latents = [np.asarray(lat_dev[b, : keeps[b]])
-                   for b in range(lat_dev.shape[0])]
+        if materialize:
+            mel = np.asarray(mel_dev)[0, :, : out_lens[0]]
+            latents = [np.asarray(lat_dev[b, : keeps[b]])
+                       for b in range(lat_dev.shape[0])]
+        else:
+            # serving mode: skip the mel/latent downloads
+            mel = None
+            latents = None
     else:
         t0 = time.monotonic()
         latents, sequences = ar_stage.autoregressive(

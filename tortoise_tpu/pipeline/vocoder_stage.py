@@ -59,8 +59,12 @@ def _vocoder_dev_jit(params, cfg, mel_norm, mel_lens, pad_total, key,
         jnp.where(idx < lens + cfg.mel_pad_frames, MEL_PAD_VALUE, 0.0))
     noise = jax.random.normal(key, (b, cfg.noise_ch, pad_total))
     totals = jnp.asarray(mel_lens) + cfg.mel_pad_frames
-    return vmodel.vocoder_forward(params, cfg, mel_v, noise, totals,
-                                  compute_dtype)
+    audio = vmodel.vocoder_forward(params, cfg, mel_v, noise, totals,
+                                   compute_dtype)
+    # ship the audio as 16-bit PCM samples: halves the download through
+    # the ~25 MB/s tunnel; quantization error ~3e-5 (96 dB SNR), far
+    # inside the reference's own 1e-2 test tolerance
+    return jnp.clip(audio * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
 
 
 def vocoder_batch_device(
@@ -86,7 +90,7 @@ def vocoder_batch_device(
         audio = np.asarray(_vocoder_dev_jit(
             params, cfg, mel_dev, jnp.asarray(lens), pad_total, key,
             compute_dtype,
-        ))
+        )).astype(np.float32) / 32767.0
     return [audio[i, : totals[i] * cfg.total_upsample - 6]
             for i in range(len(lens))]
 
