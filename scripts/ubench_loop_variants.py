@@ -59,9 +59,9 @@ key = jax.random.PRNGKey(0)
 noise = jax.random.normal(key, (1, cfg.n_mel, out_pad))
 
 VARIANTS = [
-    ("base", {}),
-    ("unroll2", {"DIFF_UNROLL": "2"}),
-    ("unroll5", {"DIFF_UNROLL": "5"}),
+    ("base256", {}),
+    ("bq128", {"FLASH_BQ": "128"}),
+    ("vmem100", {"FLASH_VMEM_MB": "100"}),
 ]
 
 raw = dst._diffusion_loop_jit.__wrapped__
@@ -69,8 +69,18 @@ raw = dst._diffusion_loop_jit.__wrapped__
 for name, env in VARIANTS:
     os.environ.update(env)
     try:
-        f = jax.jit(raw, static_argnames=("cfg", "variance_swap",
-                                          "compute_dtype"))
+        # fresh def per variant: pjit caches traces on the callable's
+        # identity, so re-jitting the same function object silently reuses
+        # the previous trace and env knobs never apply
+        def fresh(params, cfg, sched, code_emb2, x0_noise, out_buckets,
+                  out_mask, key, lo, hi, variance_swap=True,
+                  compute_dtype=None):
+            return raw(params, cfg, sched, code_emb2, x0_noise,
+                       out_buckets, out_mask, key, lo, hi, variance_swap,
+                       compute_dtype)
+
+        f = jax.jit(fresh, static_argnames=("cfg", "variance_swap",
+                                            "compute_dtype"))
 
         def run():
             x, _ = f(params, cfg, sched, code_emb2, noise, out_buckets,
@@ -81,7 +91,10 @@ for name, env in VARIANTS:
             np.asarray(jnp.ravel(x)[:1])
             return x
 
+        t0 = time.monotonic()
         run()  # compile
+        print(f"{name:10s}: first run {time.monotonic() - t0:6.1f} s",
+              flush=True)
         ts = []
         for _ in range(3):
             t0 = time.monotonic()

@@ -62,9 +62,30 @@ def _linear(x, w, b, compute_dtype=None, out_dtype=None):
     return pdot(x, w.T, compute_dtype) + b
 
 
+def _use_packed(cfg: DiffusionConfig) -> bool:
+    return cfg.use_flash and cfg.n_head % 2 == 0 \
+        and (6 * cfg.d_head) % 128 == 0
+
+
+def _packed_bq(t: int) -> int:
+    """Query block size for the packed kernel — must match the clamp in
+    flash_attention_packed so precomputed bands line up."""
+    import os
+
+    return min(int(os.environ.get("FLASH_BQ", "256")), max(t, 8))
+
+
 def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
-               mask=None, compute_dtype=None):
-    """Rel-pos attention block over (B, T, C). mask: (B, T) bool or None."""
+               mask=None, compute_dtype=None, band=None):
+    """Rel-pos attention block over (B, T, C). mask: (B, T) bool or None.
+    band: optional precomputed (band (H, 3, bq, bq), scalars (H, 2)) pair
+    for the packed kernel — precompute with relpos_bias_band_stacked
+    outside scanned loops (in-loop construction cost ~30% of the denoise
+    loop)."""
+    import os
+
+    if os.environ.get("DIFF_NO_ATTN") == "1":  # ubench diagnostic only
+        return x
     b, t, c = x.shape
     h, dh = cfg.n_head, cfg.d_head
     y = group_norm_tc(x, cfg.n_groups, block["attn_norm_w"],
@@ -77,7 +98,7 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
                   compute_dtype, out_dtype=compute_dtype)  # (B, T, 3C)
     # channel c = head*192 + part*64 + d (per-head-interleaved qkv,
     # upstream QKVAttentionLegacy; main.cpp:3229-3245)
-    if cfg.use_flash and h % 2 == 0 and (6 * dh) % 128 == 0:
+    if _use_packed(cfg):
         from tortoise_tpu.ops.pallas.flash_attention import (
             flash_attention_packed,
         )
@@ -86,13 +107,15 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
         if mask is not None:
             kv_valid = jnp.broadcast_to(mask, (b, t))
         kdt = compute_dtype or x.dtype  # halve the kernel's qkv streaming
+        band_l, scal_l = band if band is not None else (None, None)
         # the packed kernel slices heads out of the fused qkv matmul output
         # via its index maps — no (B,T,H,3,D)->(B,H,T,D) transposes, which
         # doubled the custom-call time (scripts/ubench_flash_kernel.py)
         merged = flash_attention_packed(
             qkv.astype(kdt), h, kv_valid, bias_table=rel_w,
-            bias_max_distance=cfg.rel_pos_max_distance, bq=256,
+            bias_max_distance=cfg.rel_pos_max_distance, bq=_packed_bq(t),
             interpret=jax.default_backend() != "tpu",
+            band=band_l, band_scalars=scal_l,
         )
     elif cfg.use_flash:
         from tortoise_tpu.ops.pallas.flash_attention import flash_attention
@@ -159,10 +182,24 @@ def _resblock(block, x, time_emb, cfg: DiffusionConfig, prefix="res_",
     return x + y.astype(x.dtype)
 
 
-def _diffusion_layer(layer, x, time_emb, buckets, cfg, mask, compute_dtype):
+def _diffusion_layer(layer, x, time_emb, buckets, cfg, mask, compute_dtype,
+                     band=None):
     x = _resblock(layer, x, time_emb, cfg, "res_", mask, compute_dtype)
     return _attention(layer, x, layer["attn_rel_w"], buckets, cfg, mask,
-                      compute_dtype)
+                      compute_dtype, band)
+
+
+def _band_stack(tables, t: int, cfg: DiffusionConfig):
+    """Precomputed per-layer band biases for the packed kernel, or None
+    when the packed path is off. tables: (L, NB, H)."""
+    if not _use_packed(cfg):
+        return None
+    from tortoise_tpu.ops.relpos import relpos_bias_band_stacked
+
+    return relpos_bias_band_stacked(
+        tables, _packed_bq(t), scale=8.0,
+        num_buckets=cfg.rel_pos_buckets,
+        max_distance=cfg.rel_pos_max_distance)
 
 
 def latent_conditioner(params, cfg: DiffusionConfig, latents: jax.Array,
@@ -176,11 +213,22 @@ def latent_conditioner(params, cfg: DiffusionConfig, latents: jax.Array,
     x = conv1d_nwc(x, params["latent_conv_w"], params["latent_conv_b"],
                    padding=1, compute_dtype=compute_dtype)
 
-    def step(x, block):
-        return _attention(block, x, block["attn_rel_w"], lat_buckets, cfg,
-                          lat_mask, compute_dtype), None
+    bands = _band_stack(params["latent_blocks"]["attn_rel_w"], x.shape[1],
+                        cfg)
+    if bands is None:
+        def step(x, block):
+            return _attention(block, x, block["attn_rel_w"], lat_buckets,
+                              cfg, lat_mask, compute_dtype), None
 
-    x, _ = jax.lax.scan(step, x, params["latent_blocks"])
+        x, _ = jax.lax.scan(step, x, params["latent_blocks"])
+    else:
+        def step_b(x, xs):
+            block, band_l, scal_l = xs
+            return _attention(block, x, block["attn_rel_w"], lat_buckets,
+                              cfg, lat_mask, compute_dtype,
+                              band=(band_l, scal_l)), None
+
+        x, _ = jax.lax.scan(step_b, x, (params["latent_blocks"],) + bands)
     x = group_norm_tc(x, cfg.n_groups, params["code_norm_w"],
                       params["code_norm_b"], cfg.gn_eps, mask=lat_mask,
                       fast=compute_dtype is not None)
@@ -199,12 +247,23 @@ def time_mlp(params, t_emb, compute_dtype=None):
 def integrate_code(params, cfg: DiffusionConfig, code_emb, time_emb,
                    out_buckets, mask=None, compute_dtype=None):
     """3 conditioning_timestep_integrator layers (main.cpp:3345-3608)."""
+    bands = _band_stack(params["integrator"]["attn_rel_w"],
+                        code_emb.shape[1], cfg)
+    if bands is None:
+        def step(x, layer):
+            return _diffusion_layer(layer, x, time_emb, out_buckets, cfg,
+                                    mask, compute_dtype), None
 
-    def step(x, layer):
-        return _diffusion_layer(layer, x, time_emb, out_buckets, cfg, mask,
-                                compute_dtype), None
+        x, _ = jax.lax.scan(step, code_emb, params["integrator"])
+    else:
+        def step_b(x, xs):
+            layer, band_l, scal_l = xs
+            return _diffusion_layer(layer, x, time_emb, out_buckets, cfg,
+                                    mask, compute_dtype,
+                                    band=(band_l, scal_l)), None
 
-    x, _ = jax.lax.scan(step, code_emb, params["integrator"])
+        x, _ = jax.lax.scan(step_b, code_emb,
+                            (params["integrator"],) + bands)
     return x
 
 
@@ -220,14 +279,25 @@ def trunk(params, cfg: DiffusionConfig, noisy_mel, code_emb, time_emb,
     x = _linear(x, params["integrating_w"], params["integrating_b"],
                 compute_dtype, out_dtype=compute_dtype)
 
-    def main_step(x, layer):
-        return _diffusion_layer(layer, x, time_emb, out_buckets, cfg, mask,
-                                compute_dtype), None
-
     import os
 
-    x, _ = jax.lax.scan(main_step, x, params["layers"],
-                        unroll=int(os.environ.get("DIFF_UNROLL", "1")))
+    unroll = int(os.environ.get("DIFF_UNROLL", "1"))
+    bands = _band_stack(params["layers"]["attn_rel_w"], x.shape[1], cfg)
+    if bands is None:
+        def main_step(x, layer):
+            return _diffusion_layer(layer, x, time_emb, out_buckets, cfg,
+                                    mask, compute_dtype), None
+
+        x, _ = jax.lax.scan(main_step, x, params["layers"], unroll=unroll)
+    else:
+        def main_step_b(x, xs):
+            layer, band_l, scal_l = xs
+            return _diffusion_layer(layer, x, time_emb, out_buckets, cfg,
+                                    mask, compute_dtype,
+                                    band=(band_l, scal_l)), None
+
+        x, _ = jax.lax.scan(main_step_b, x, (params["layers"],) + bands,
+                            unroll=unroll)
 
     def tail_step(x, layer):
         return _resblock(layer, x, time_emb, cfg, "res_", mask,
@@ -303,6 +373,12 @@ def denoise(params, cfg: DiffusionConfig, x, code_emb, t_orig,
     () or (B,) ORIGINAL timestep id. Returns (B, 200, T)."""
     from tortoise_tpu.pipeline.schedule import timestep_embedding
 
+    import os
+
+    if os.environ.get("DIFF_FAKE_DENOISE") == "1":  # ubench diagnostic
+        return jnp.concatenate(
+            [x, jnp.zeros_like(x)], axis=1).astype(jnp.float32) \
+            + code_emb[:, :1, :1].astype(jnp.float32) * 0.0
     if mask is not None and mask.shape[0] not in (1, x.shape[0]):
         # CFG stacks cond/uncond rows: tile the (B, T) mask to (2B, T)
         reps = x.shape[0] // mask.shape[0]

@@ -252,6 +252,8 @@ def flash_attention_packed(
     interpret: bool = False,
     bias_scale: float = 8.0,
     bias_max_distance: int = 64,
+    band: Optional[jax.Array] = None,
+    band_scalars: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Non-causal T5-band-bias attention STRAIGHT off the fused qkv matmul.
 
@@ -287,11 +289,17 @@ def flash_attention_packed(
         maskp = jnp.where(_pad_to(kv_valid, 1, bq), 0.0,
                           NEG_INF).astype(jnp.float32)[:, None, :]
 
-    from tortoise_tpu.ops.relpos import relpos_bias_band
+    if band is None:
+        # NOTE: when the table varies per scan layer, precompute the band
+        # stack OUTSIDE the step loop (relpos_bias_band_stacked) and pass
+        # it in — built here it re-materializes per call (~0.3 ms)
+        from tortoise_tpu.ops.relpos import relpos_bias_band
 
-    band, scalars = relpos_bias_band(
-        bias_table, bq, scale=bias_scale,
-        num_buckets=bias_table.shape[0], max_distance=bias_max_distance)
+        band, band_scalars = relpos_bias_band(
+            bias_table, bq, scale=bias_scale,
+            num_buckets=bias_table.shape[0],
+            max_distance=bias_max_distance)
+    scalars = band_scalars
     band_cat = band.swapaxes(1, 2).reshape(n_head, bq, 3 * bq)
 
     grid = (b, n_head // 2, tp // bq)

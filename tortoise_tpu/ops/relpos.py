@@ -83,6 +83,21 @@ def relpos_bias_band(weight, block: int, scale: float = 8.0,
     return band, scalars
 
 
+def relpos_bias_band_stacked(weights, block: int, scale: float = 8.0,
+                             num_buckets: int = 32, max_distance: int = 64):
+    """relpos_bias_band over a layer-stacked (L, NB, H) table: returns
+    (band (L, H, 3, block, block), scalars (L, H, 2)). Precompute this
+    ONCE per diffusion call and feed it to the attention layers as scan
+    xs — building the band inside the step loop (where the per-layer
+    table is a scan slice XLA cannot hoist) cost ~0.3 ms x 13 layers x 80
+    steps (~30% of the whole denoise loop, r2 bisect)."""
+    import jax
+
+    return jax.vmap(
+        lambda w: relpos_bias_band(w, block, scale, num_buckets,
+                                   max_distance))(weights)
+
+
 def relpos_bias_blocks(weight, nq: int, nk: int, block: int,
                        scale: float = 8.0, num_buckets: int = 32,
                        max_distance: int = 64):
