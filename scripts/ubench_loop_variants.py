@@ -59,9 +59,9 @@ key = jax.random.PRNGKey(0)
 noise = jax.random.normal(key, (1, cfg.n_mel, out_pad))
 
 VARIANTS = [
-    ("base256", {}),
-    ("bq128", {"FLASH_BQ": "128"}),
-    ("vmem100", {"FLASH_VMEM_MB": "100"}),
+    ("hpp4", {}),
+    ("hpp4vmem100", {"FLASH_VMEM_MB": "100"}),
+    ("hpp4bq256", {"FLASH_BQ": "256"}),
 ]
 
 raw = dst._diffusion_loop_jit.__wrapped__

@@ -69,10 +69,12 @@ def _use_packed(cfg: DiffusionConfig) -> bool:
 
 def _packed_bq(t: int) -> int:
     """Query block size for the packed kernel — must match the clamp in
-    flash_attention_packed so precomputed bands line up."""
+    flash_attention_packed so precomputed bands line up. 128 measured
+    fastest at T~2176 (2176 = 17x128 needs no padding; 256 pads to 2304,
+    +6% kernel work — r2 corrected sweep 16.2 vs 16.7 ms/step)."""
     import os
 
-    return min(int(os.environ.get("FLASH_BQ", "256")), max(t, 8))
+    return min(int(os.environ.get("FLASH_BQ", "128")), max(t, 8))
 
 
 def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
@@ -116,6 +118,13 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
             bias_max_distance=cfg.rel_pos_max_distance, bq=_packed_bq(t),
             interpret=jax.default_backend() != "tpu",
             band=band_l, band_scalars=scal_l,
+            # tuning knobs read at (outer) trace time — the kernel wrapper
+            # has its own trace cache, so they must be real arguments.
+            # 4 heads/program measured 15.2 vs 16.1 ms/CFG-step (r2 sweep;
+            # 8 fails to compile — VMEM)
+            hpp=int(os.environ.get("FLASH_HPP", "4")),
+            vmem_mb=(int(os.environ["FLASH_VMEM_MB"])
+                     if os.environ.get("FLASH_VMEM_MB") else None),
         )
     elif cfg.use_flash:
         from tortoise_tpu.ops.pallas.flash_attention import flash_attention

@@ -196,29 +196,30 @@ def _grouped_flash(qp, kp, vp, band, scalars, maskp, *, bq, bk, tq, tkv,
 
 def _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref, mask_ref,
                         out_ref, s_ref, *, bq: int, t_kv: int, d: int,
-                        scale: float, have_mask: bool):
+                        scale: float, have_mask: bool, hpp: int = 2):
     """Row-block kernel over head-sliced views of the packed (B, T, 3HD)
-    qkv tensor, TWO interleaved heads per program (Mosaic wants the last
-    block dim % 128 == 0; one head's 3D-wide strip is 192).
+    qkv tensor, `hpp` interleaved heads per program (Mosaic wants the
+    last block dim % 128 == 0; one head's 3D-wide strip is 192, so hpp
+    must be even).
 
-    qrow_ref: (1, BQ, 6D) — this query block's [q0 k0 v0 q1 k1 v1];
-    kv_ref:   (1, T_kv, 6D) — the same columns over the full KV axis.
-    Same band-bias scheme as _attn_kernel_rowblock."""
+    qrow_ref: (1, BQ, 3*hpp*D) — this query block's [q0 k0 v0 q1 ...];
+    kv_ref:   (1, T_kv, 3*hpp*D) — the same columns over the full KV
+    axis. Same band-bias scheme as _attn_kernel_rowblock."""
     qi = pl.program_id(2)
     hg = pl.program_id(1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t_kv), 1)
     # additive 0/NEG_INF mask row (f32), fused into the scratch write
     # (bool `where` on the scores costs ~3x the whole kernel)
     maskrow = mask_ref[0, 0][None, :] if have_mask else None
-    for g in range(2):
+    for g in range(hpp):
         # 1/sqrt(64) is a power of two: folding it into q in the input
         # dtype is exact
         q = qrow_ref[0][:, 3 * d * g : 3 * d * g + d] \
             * jnp.asarray(scale, qrow_ref.dtype)
         k = kv_ref[0][:, 3 * d * g + d : 3 * d * g + 2 * d]
         v = kv_ref[0][:, 3 * d * g + 2 * d : 3 * d * g + 3 * d]
-        c_l = scal_ref[hg * 2 + g, 0]
-        c_r = scal_ref[hg * 2 + g, 1]
+        c_l = scal_ref[hg * hpp + g, 0]
+        c_r = scal_ref[hg * hpp + g, 1]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
         fill = jnp.where(
             cols < (qi - 1) * bq, c_l,
@@ -240,7 +241,7 @@ def _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref, mask_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n_head", "scale", "bq", "interpret", "bias_scale",
-                     "bias_max_distance"),
+                     "bias_max_distance", "hpp", "vmem_mb"),
 )
 def flash_attention_packed(
     qkv: jax.Array,
@@ -254,6 +255,8 @@ def flash_attention_packed(
     bias_max_distance: int = 64,
     band: Optional[jax.Array] = None,
     band_scalars: Optional[jax.Array] = None,
+    hpp: int = 2,
+    vmem_mb: Optional[int] = None,
 ) -> jax.Array:
     """Non-causal T5-band-bias attention STRAIGHT off the fused qkv matmul.
 
@@ -302,11 +305,13 @@ def flash_attention_packed(
     scalars = band_scalars
     band_cat = band.swapaxes(1, 2).reshape(n_head, bq, 3 * bq)
 
-    grid = (b, n_head // 2, tp // bq)
+    while n_head % hpp or hpp % 2:
+        hpp -= 1
+    grid = (b, n_head // hpp, tp // bq)
     in_specs = [
-        pl.BlockSpec((1, bq, 6 * d), lambda bi, hg, qi: (bi, qi, hg)),
-        pl.BlockSpec((1, tp, 6 * d), lambda bi, hg, qi: (bi, 0, hg)),
-        pl.BlockSpec((2, bq, 3 * bq), lambda bi, hg, qi: (hg, 0, 0)),
+        pl.BlockSpec((1, bq, 3 * hpp * d), lambda bi, hg, qi: (bi, qi, hg)),
+        pl.BlockSpec((1, tp, 3 * hpp * d), lambda bi, hg, qi: (bi, 0, hg)),
+        pl.BlockSpec((hpp, bq, 3 * bq), lambda bi, hg, qi: (hg, 0, 0)),
         pl.BlockSpec((n_head, 2), lambda bi, hg, qi: (0, 0),
                      memory_space=pltpu.SMEM),
     ]
@@ -320,14 +325,12 @@ def flash_attention_packed(
                  out_ref, s_ref):
             _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref,
                                 mask_ref, out_ref, s_ref, bq=bq, t_kv=tp,
-                                d=d, scale=scale, have_mask=True)
+                                d=d, scale=scale, have_mask=True, hpp=hpp)
     else:
         def kern(qrow_ref, kv_ref, band_ref, scal_ref, out_ref, s_ref):
             _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref,
                                 None, out_ref, s_ref, bq=bq, t_kv=tp,
-                                d=d, scale=scale, have_mask=False)
-
-    import os
+                                d=d, scale=scale, have_mask=False, hpp=hpp)
 
     params = {}
     if not interpret:
@@ -335,14 +338,13 @@ def flash_attention_packed(
         # it overlap their prologue DMAs across steps
         params["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=(int(os.environ["FLASH_VMEM_MB"]) * 2**20
-                              if os.environ.get("FLASH_VMEM_MB") else None),
+            vmem_limit_bytes=vmem_mb * 2**20 if vmem_mb else None,
         )
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bq, 2 * d),
+        out_specs=pl.BlockSpec((1, bq, hpp * d),
                                lambda bi, hg, qi: (bi, qi, hg)),
         out_shape=jax.ShapeDtypeStruct((b, tp, n_head * d), qkv.dtype),
         scratch_shapes=[pltpu.VMEM((bq, tp + 2 * bq), jnp.float32)],
