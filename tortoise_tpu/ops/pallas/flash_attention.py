@@ -271,8 +271,6 @@ def flash_attention_packed(
     custom-call time when the kernel consumed transposed operands
     (scripts/ubench_flash_kernel.py 'producer' case). n_head must be even.
     """
-    import os
-
     b, t, c3 = qkv.shape
     d = c3 // (3 * n_head)
     if n_head % 2 or (3 * 2 * d) % 128:
@@ -280,7 +278,8 @@ def flash_attention_packed(
                          f" got H={n_head} D={d}")
     if scale is None:
         scale = 1.0 / (d ** 0.5)
-    bq = int(os.environ.get("FLASH_BQ", bq))  # tuning knob (trace-time)
+    # bq is caller-controlled (models/diffusion._packed_bq) so precomputed
+    # band biases always match the block size
     bq = min(bq, max(t, 8))
     qkvp = _pad_to(qkv, 1, bq)
     tp = qkvp.shape[1]
