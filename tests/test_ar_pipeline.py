@@ -147,3 +147,33 @@ def test_int8_weights_close_and_runs(tiny):
     )
     assert len(seqs) == 1 and seqs[0][0] == cfg.start_mel_token
     assert np.isfinite(latents[0]).all()
+
+
+def test_quantize_cols_roundtrip_error():
+    """Per-column int8 quantization: worst-case roundtrip error is half a
+    quantization step per element, scales per (layer, column)."""
+    import jax.numpy as jnp
+
+    from tortoise_tpu.ops.basic import quantize_cols
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(0, 0.04, (3, 32, 48)).astype(np.float32)
+    wq, scale = quantize_cols(jnp.asarray(w))
+    assert wq.dtype == jnp.int8 and scale.shape == (3, 1, 48)
+    recon = np.asarray(wq, np.float32) * np.asarray(scale)
+    step = np.asarray(scale)
+    assert (np.abs(recon - w) <= 0.5 * step + 1e-9).all()
+
+
+def test_trim_keep_lengths_matches_trim_latents(tiny):
+    cfg, *_ = tiny
+    seqs = [
+        ap.apply_padding([7, 9, cfg.calm_token, 11], cfg),
+        ap.apply_padding([cfg.calm_token] * 3, cfg),
+    ]
+    lat = np.arange(2 * cfg.pad_mel_length * 4, dtype=np.float32).reshape(
+        2, cfg.pad_mel_length, 4)
+    keeps = ap.trim_keep_lengths(seqs, cfg)
+    trimmed = ap.trim_latents(lat, seqs, cfg)
+    for k, t in zip(keeps, trimmed):
+        assert t.shape[0] == k
