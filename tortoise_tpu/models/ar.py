@@ -228,6 +228,9 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
     # slot n holds stale/zero data; it stays masked — the appended fresh
     # column below stands in for the current token
     scale = jnp.sqrt(jnp.float32(cfg.d_head))
+    # parity path (compute_dtype=None): the TPU default "f32" einsum is a
+    # single bf16 pass (~4e-3 relative); match pdot's exact-f32 contract
+    prec = None if compute_dtype is not None else jax.lax.Precision.HIGHEST
 
     def layer(h, xs):
         block, k_l, v_l = xs                               # (B, C, H*Dh)
@@ -242,7 +245,8 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
         qc = q.astype(compute_dtype) if compute_dtype else q
         scores = (jnp.einsum("bhd,bchd->bhc", qc,
                              k4.astype(qc.dtype),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
                   / scale)                                 # (B, H, C)
         scores = scores + bias[:, :, 0]                    # bias (B,1,1,C)
         self_score = (jnp.sum(
@@ -258,7 +262,8 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
         denom = jnp.sum(e_cache, axis=-1, keepdims=True) + e_self
         ctx = (jnp.einsum("bhc,bchd->bhd", e_cache.astype(qc.dtype),
                           v4.astype(qc.dtype),
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
                + e_self * v_new.astype(jnp.float32)) / denom
         merged = ctx.reshape(b, h_ * dh)
         attn = pdot(merged, block["proj_w"], compute_dtype) \

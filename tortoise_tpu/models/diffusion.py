@@ -67,14 +67,12 @@ def _use_packed(cfg: DiffusionConfig) -> bool:
         and (6 * cfg.d_head) % 128 == 0
 
 
-def _packed_bq(t: int) -> int:
+def _packed_bq(t: int, cfg: DiffusionConfig) -> int:
     """Query block size for the packed kernel — must match the clamp in
-    flash_attention_packed so precomputed bands line up. 128 measured
-    fastest at T~2176 (2176 = 17x128 needs no padding; 256 pads to 2304,
-    +6% kernel work — r2 corrected sweep 16.2 vs 16.7 ms/step)."""
-    import os
-
-    return min(int(os.environ.get("FLASH_BQ", "128")), max(t, 8))
+    flash_attention_packed so precomputed bands line up. cfg.flash_bq=128
+    measured fastest at T~2176 (2176 = 17x128 needs no padding; 256 pads
+    to 2304, +6% kernel work — r2 corrected sweep 16.2 vs 16.7 ms/step)."""
+    return min(cfg.flash_bq, max(t, 8))
 
 
 def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
@@ -84,9 +82,7 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
     for the packed kernel — precompute with relpos_bias_band_stacked
     outside scanned loops (in-loop construction cost ~30% of the denoise
     loop)."""
-    import os
-
-    if os.environ.get("DIFF_NO_ATTN") == "1":  # ubench diagnostic only
+    if cfg.diag_no_attn:  # ubench diagnostic only
         return x
     b, t, c = x.shape
     h, dh = cfg.n_head, cfg.d_head
@@ -115,16 +111,16 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
         # doubled the custom-call time (scripts/ubench_flash_kernel.py)
         merged = flash_attention_packed(
             qkv.astype(kdt), h, kv_valid, bias_table=rel_w,
-            bias_max_distance=cfg.rel_pos_max_distance, bq=_packed_bq(t),
+            bias_max_distance=cfg.rel_pos_max_distance,
+            bq=_packed_bq(t, cfg),
             interpret=jax.default_backend() != "tpu",
             band=band_l, band_scalars=scal_l,
-            # tuning knobs read at (outer) trace time — the kernel wrapper
-            # has its own trace cache, so they must be real arguments.
-            # 4 heads/program measured 15.2 vs 16.1 ms/CFG-step (r2 sweep;
-            # 8 fails to compile — VMEM)
-            hpp=int(os.environ.get("FLASH_HPP", "4")),
-            vmem_mb=(int(os.environ["FLASH_VMEM_MB"])
-                     if os.environ.get("FLASH_VMEM_MB") else None),
+            # tuning knobs come from the config (part of the jit cache
+            # key); the kernel wrapper has its own trace cache, so they
+            # must be real arguments. 4 heads/program measured 15.2 vs
+            # 16.1 ms/CFG-step (r2 sweep; 8 fails to compile — VMEM)
+            hpp=cfg.flash_hpp,
+            vmem_mb=cfg.flash_vmem_mb or None,
         )
     elif cfg.use_flash:
         from tortoise_tpu.ops.pallas.flash_attention import flash_attention
@@ -140,6 +136,7 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
             qkv5[:, :, :, 2].transpose(0, 2, 1, 3),
             None, kv_valid, bias_table=rel_w, bias_formula=True,
             bias_max_distance=cfg.rel_pos_max_distance, bq=128, bk=128,
+            group=cfg.flash_group, vmem_mb=cfg.flash_vmem_mb or None,
             interpret=jax.default_backend() != "tpu",
         )
         merged = ctx.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
@@ -206,7 +203,7 @@ def _band_stack(tables, t: int, cfg: DiffusionConfig):
     from tortoise_tpu.ops.relpos import relpos_bias_band_stacked
 
     return relpos_bias_band_stacked(
-        tables, _packed_bq(t), scale=8.0,
+        tables, _packed_bq(t, cfg), scale=8.0,
         num_buckets=cfg.rel_pos_buckets,
         max_distance=cfg.rel_pos_max_distance)
 
@@ -288,9 +285,7 @@ def trunk(params, cfg: DiffusionConfig, noisy_mel, code_emb, time_emb,
     x = _linear(x, params["integrating_w"], params["integrating_b"],
                 compute_dtype, out_dtype=compute_dtype)
 
-    import os
-
-    unroll = int(os.environ.get("DIFF_UNROLL", "1"))
+    unroll = cfg.main_unroll
     bands = _band_stack(params["layers"]["attn_rel_w"], x.shape[1], cfg)
     if bands is None:
         def main_step(x, layer):
@@ -341,11 +336,16 @@ def code_embeddings(params, cfg: DiffusionConfig, latents, lat_buckets,
 
     def onehot_upsample(idx):
         # row gather as a one-hot matmul: XLA:TPU gathers run ~200x slower
-        # than the MXU for this (22.7 ms vs ~0.1 ms at production shapes)
+        # than the MXU for this (22.7 ms vs ~0.1 ms at production shapes).
+        # HIGHEST on the f32 parity path keeps the gather exact (a one-hot
+        # operand makes the multi-pass dot bit-identical to jnp.take; the
+        # default single-pass form rounds the latents to bf16)
         oh = (idx[..., :, None]
               == jnp.arange(cond.shape[1])).astype(cond.dtype)
-        return jnp.matmul(oh, cond, preferred_element_type=jnp.float32
-                          ).astype(cond.dtype)
+        prec = (jax.lax.Precision.HIGHEST
+                if cond.dtype == jnp.float32 else None)
+        return jnp.matmul(oh, cond, preferred_element_type=jnp.float32,
+                          precision=prec).astype(cond.dtype)
 
     if lat_len is None:
         idx = (jnp.arange(out_len_pad) * cond.shape[1]) // out_len_pad
@@ -382,9 +382,7 @@ def denoise(params, cfg: DiffusionConfig, x, code_emb, t_orig,
     () or (B,) ORIGINAL timestep id. Returns (B, 200, T)."""
     from tortoise_tpu.pipeline.schedule import timestep_embedding
 
-    import os
-
-    if os.environ.get("DIFF_FAKE_DENOISE") == "1":  # ubench diagnostic
+    if cfg.diag_fake_denoise:  # ubench diagnostic
         return jnp.concatenate(
             [x, jnp.zeros_like(x)], axis=1).astype(jnp.float32) \
             + code_emb[:, :1, :1].astype(jnp.float32) * 0.0

@@ -139,7 +139,7 @@ def _attn_kernel_rowblock(q_ref, k_ref, v_ref, band_ref, scal_ref, mask_ref,
 
 
 def _grouped_flash(qp, kp, vp, band, scalars, maskp, *, bq, bk, tq, tkv,
-                   group, interpret):
+                   group, interpret, vmem_mb=None):
     """pallas_call wrapper for the grouped band-bias kernel. The scale is
     already folded into q by the caller."""
     b, h = qp.shape[0], qp.shape[1]
@@ -175,12 +175,10 @@ def _grouped_flash(qp, kp, vp, band, scalars, maskp, *, bq, bk, tq, tkv,
                                   None, out_ref, s_ref, bq=bq, t_kv=tkv,
                                   n_heads=group, have_mask=False)
 
-    import os
-
     params = {}
-    if os.environ.get("FLASH_VMEM_MB"):
+    if vmem_mb:
         params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=int(os.environ["FLASH_VMEM_MB"]) * 2**20)
+            vmem_limit_bytes=vmem_mb * 2**20)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -366,7 +364,8 @@ def _pad_to(x, axis, mult):
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "bq", "bk", "interpret",
-                     "bias_scale", "bias_formula", "bias_max_distance"),
+                     "bias_scale", "bias_formula", "bias_max_distance",
+                     "group", "vmem_mb"),
 )
 def flash_attention(
     q: jax.Array,
@@ -384,6 +383,8 @@ def flash_attention(
     bias_scale: float = 8.0,
     bias_formula: bool = False,
     bias_max_distance: int = 64,
+    group: int = 2,
+    vmem_mb: Optional[int] = None,
 ) -> jax.Array:
     """q,k,v: (B, H, T, D); kv_valid: (B, T) bool. Bias either as a
     materialized (H, T, T) `bias`, or compactly as `bias_buckets` (T, T)
@@ -429,11 +430,9 @@ def flash_attention(
         from tortoise_tpu.ops.relpos import relpos_bias_band
 
         # VMEM budget: k/v + band patch + score scratch per program is
-        # ~4.4 MB/head-pair at T~2300; group=2 keeps the double-buffered
-        # total under ~9 MB (group=4 brushes the 16 MB ceiling)
-        import os
-
-        group = int(os.environ.get("FLASH_GROUP", "2"))
+        # ~4.4 MB/head-pair at T~2300; group=2 (the default) keeps the
+        # double-buffered total under ~9 MB (group=4 brushes the 16 MB
+        # ceiling)
         while h % group:
             group //= 2
         band, scalars = relpos_bias_band(
@@ -444,7 +443,7 @@ def flash_attention(
         out = _grouped_flash(qs, kp, vp, band, scalars,
                              maskp if have_mask else None,
                              bq=bq, bk=bk, tq=tq, tkv=tkv, group=group,
-                             interpret=interpret)
+                             interpret=interpret, vmem_mb=vmem_mb)
         return out[:, :, :t, :]
 
     if bias_formula:

@@ -35,12 +35,34 @@ LAT_BUCKET = 32
 OUT_BUCKET = 64
 
 
+_client_tokens: dict = {}
+
+
 def _backend_token() -> int:
     """Cache key component tying device-resident caches to the live
     backend: after jax.extend.backend.clear_backends() (the multichip
-    dryrun does this) cached arrays are dead, and a new client id makes
-    the lru lookup miss instead of returning them."""
-    return id(jax.devices()[0].client)
+    dryrun does this) cached arrays are dead; a fresh monotonic token per
+    client object makes the lru lookup miss instead of returning them.
+    Keyed by a weakref so a recycled id() of a freed client can't alias
+    its token (ADVICE r2); tokens are never reused."""
+    import weakref
+
+    client = jax.devices()[0].client
+    key = id(client)
+    entry = _client_tokens.get(key)
+    if entry is not None:
+        ref, token = entry
+        if ref() is client:
+            return token
+    token = _backend_token.counter = getattr(_backend_token, "counter", 0) + 1
+    try:
+        ref = weakref.ref(client)
+    except TypeError:
+        # client type doesn't support weakrefs: hold it strongly so its
+        # id can never be recycled while the token maps to it
+        ref = (lambda c: (lambda: c))(client)
+    _client_tokens[key] = (ref, token)
+    return token
 
 
 def _schedule_arrays(cfg: DiffusionConfig):
