@@ -13,12 +13,21 @@ state. Prints ONE JSON line:
 
 vs_baseline compares against the repo north-star target RTF 0.1
 (BASELINE.md; the reference publishes no numbers, BASELINE.json
-`published` is empty). Env knobs: BENCH_SMALL=1 for a reduced-size smoke
-run; BENCH_F32=1 to disable bfloat16 matmuls.
+`published` is empty).
+
+The headline path is bf16 activations + int8 matmul weights for the AR
+decoder (decode is weight-streaming bound; logit error pinned by
+tests/test_pseudo_golden.py); the JSON also reports the bf16-weights
+decode path side by side. Env knobs: BENCH_SMALL=1 reduced-size smoke
+run; BENCH_F32=1 full float32; BENCH_INT8=0 to bench bf16 weights as the
+headline; BENCH_BATCH_SIZES=4,8,16 serving sweep (BENCH_BATCH=0 skips);
+BENCH_WARMSTART=0 skips the second-process cold-start probe.
 """
 
+import dataclasses
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -27,26 +36,12 @@ import numpy as np
 TARGET_RTF = 0.1
 
 
-def main() -> int:
-    small = os.environ.get("BENCH_SMALL") == "1"
-    use_bf16 = os.environ.get("BENCH_F32") != "1"
-
+def build_models(small, use_bf16):
     import jax
 
-    from tortoise_tpu.pipeline.synthesize import TortoiseModels, synthesize
-    from tortoise_tpu.utils.runtime import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    compute_dtype = None
-    if use_bf16:
-        import jax.numpy as jnp
-
-        compute_dtype = jnp.bfloat16
+    from tortoise_tpu.pipeline.synthesize import TortoiseModels
 
     models = TortoiseModels.random(seed=0, tiny=small)
-    import dataclasses
-
     if small:
         models.ar_cfg = dataclasses.replace(models.ar_cfg,
                                             max_decode_steps=8,
@@ -61,38 +56,79 @@ def main() -> int:
         models.vocoder_cfg = dataclasses.replace(
             models.vocoder_cfg,
             use_pallas_lvc=os.environ.get("BENCH_PALLAS_LVC") == "1")
+    # flash-kernel knob overrides for sweeps (config fields, trace-time)
+    for env, field in (("BENCH_FLASH_BQ", "flash_bq"),
+                       ("BENCH_FLASH_HPP", "flash_hpp"),
+                       ("BENCH_FLASH_GROUP", "flash_group"),
+                       ("BENCH_FLASH_VMEM_MB", "flash_vmem_mb"),
+                       ("BENCH_DIFF_UNROLL", "main_unroll")):
+        if os.environ.get(env):
+            models.diffusion_cfg = dataclasses.replace(
+                models.diffusion_cfg, **{field: int(os.environ[env])})
+    return models
+
+
+def main() -> int:
+    small = os.environ.get("BENCH_SMALL") == "1"
+    use_bf16 = os.environ.get("BENCH_F32") != "1"
+    child = os.environ.get("BENCH_CHILD") == "1"
+
+    import jax
+
+    from tortoise_tpu.pipeline.synthesize import synthesize
+    from tortoise_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    compute_dtype = None
+    if use_bf16:
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
+
+    models = build_models(small, use_bf16)
     rng = np.random.default_rng(0)
     tokens = [255] + rng.integers(
         3, models.ar_cfg.n_text_vocab, size=24
     ).tolist() + [0]
     voice = rng.normal(0, 0.5, (models.ar_cfg.d_model,)).astype(np.float32)
 
-    int8 = os.environ.get("BENCH_INT8") == "1"
+    # int8 AR matmul weights are the production default (decode is
+    # weight-streaming bound: 1.45 vs 1.86 ms/step measured r2; logit
+    # error pinned by tests/test_pseudo_golden.py)
+    int8 = os.environ.get("BENCH_INT8", "1") == "1" and use_bf16
 
-    def run(seed, stage_sync=False):
+    def run(seed, stage_sync=False, int8_weights=int8):
         t0 = time.monotonic()
         result = synthesize(models, tokens=tokens, voice=voice, seed=seed,
                             batch_size=1, sampler="jax",
                             compute_dtype=compute_dtype,
-                            int8_weights=int8, stage_sync=stage_sync,
-                            materialize=False)
+                            int8_weights=int8_weights,
+                            stage_sync=stage_sync, materialize=False)
         wall = time.monotonic() - t0
         return result, wall
 
     # warmup: compile everything (AR prefill/loop/latents, diffusion,
     # vocoder) for this shape set
     _, compile_wall = run(0)
+
+    if child:
+        # second-process probe: report this process's first-run wall (the
+        # persistent-cache warm-start cost) and exit
+        print(json.dumps({"first_run_s": round(compile_wall, 3)}))
+        return 0
+
     # the shared dev TPU slice shows +-50% run-to-run variance; report the
     # best of N timed passes
     n_timed = 1 if small else int(os.environ.get("BENCH_REPS", "3"))
     runs = [run(1 + i) for i in range(n_timed)]
     result, wall = min(runs, key=lambda rw: rw[1])
     # the async device-handoff path defers stage completion to the next
-    # stage's first use; take the per-stage split from synced passes
-    # (wall/RTF still come from the async passes; best-of-2 rides out the
-    # shared-slice variance)
-    syncs = [run(1, stage_sync=True)[0] for _ in range(2)]
-    best = min(syncs, key=lambda r: sum(r.timings.values()))
+    # stage's first use; the per-stage split comes from stage-synced
+    # passes, reported with its own wall (sync_wall_s) so the
+    # decomposition adds up within one execution
+    syncs = [run(1, stage_sync=True) for _ in range(2)]
+    (best, sync_wall) = min(syncs, key=lambda rw: sum(rw[0].timings.values()))
     result = dataclasses.replace(result, timings=best.timings)
 
     audio_s = len(result.audio) / result.sample_rate
@@ -107,45 +143,80 @@ def main() -> int:
         "wall_s": round(wall, 3),
         "first_run_s": round(compile_wall, 3),
         "stages_s": {k: round(v, 3) for k, v in result.timings.items()},
+        "sync_wall_s": round(sync_wall, 3),
         "device": device,
         "bf16": use_bf16,
     }
     line["int8_weights"] = int8
     line.update(roofline_stats(models, result, use_bf16, int8))
 
-    # batched serving path: aggregate RTF per chip for B utterances decoded
-    # together (the repo's headline TPU feature)
+    # the non-headline AR weight plane, side by side (decode is the only
+    # stage the weight dtype changes)
+    if not small and use_bf16 and os.environ.get("BENCH_ALT_PATH", "1") == "1":
+        alt_runs = [run(1 + i, int8_weights=not int8) for i in range(2)]
+        alt, alt_wall = min(alt_runs, key=lambda rw: rw[1])
+        alt_sync, _ = run(1, stage_sync=True, int8_weights=not int8)
+        alt = dataclasses.replace(alt, timings=alt_sync.timings)
+        alt_audio = len(alt.audio) / alt.sample_rate
+        stats = roofline_stats(models, alt, use_bf16, not int8)
+        line["bf16_weights_path" if int8 else "int8_weights_path"] = {
+            "rtf": round(alt_wall / max(alt_audio, 1e-9), 5),
+            "wall_s": round(alt_wall, 3),
+            "ar_ms_per_step": stats["ar_ms_per_step"],
+            "ar_hbm_roofline_pct": stats["ar_hbm_roofline_pct"],
+        }
+
+    # batched serving sweep: aggregate RTF per chip for B utterances
+    # decoded together (the repo's headline TPU feature)
     if not small and os.environ.get("BENCH_BATCH", "1") == "1":
         from tortoise_tpu.pipeline.synthesize import synthesize_batch
 
-        bsz = int(os.environ.get("BENCH_BATCH_B", "4"))
-        tlists = [
-            [255] + rng.integers(
-                3, models.ar_cfg.n_text_vocab, size=18 + 3 * i
-            ).tolist() + [0]
-            for i in range(bsz)
-        ]
+        sizes = [int(b) for b in os.environ.get(
+            "BENCH_BATCH_SIZES", "4,8,16").split(",") if b.strip()]
+        line["batched"] = {}
+        for bsz in sizes:
+            tlists = [
+                [255] + rng.integers(
+                    3, models.ar_cfg.n_text_vocab, size=18 + 3 * (i % 6)
+                ).tolist() + [0]
+                for i in range(bsz)
+            ]
 
-        def run_batch(seed, stage_sync=False):
-            t0 = time.monotonic()
-            rs = synthesize_batch(models, tokens_list=tlists, voices=voice,
-                                  seed=seed, compute_dtype=compute_dtype,
-                                  stage_sync=stage_sync, materialize=False)
-            return rs, time.monotonic() - t0
+            def run_batch(seed, stage_sync=False):
+                t0 = time.monotonic()
+                rs = synthesize_batch(
+                    models, tokens_list=tlists, voices=voice, seed=seed,
+                    compute_dtype=compute_dtype, int8_weights=int8,
+                    stage_sync=stage_sync, materialize=False)
+                return rs, time.monotonic() - t0
 
-        _, bcompile = run_batch(0)  # warmup/compile
-        rs, bwall = run_batch(1)
-        rs_sync, _ = run_batch(1, stage_sync=True)
-        btotal = sum(len(r.audio) / r.sample_rate for r in rs)
-        line["batched"] = {
-            "batch": bsz,
-            "wall_s": round(bwall, 3),
-            "audio_s_total": round(btotal, 3),
-            "aggregate_rtf": round(bwall / max(btotal, 1e-9), 5),
-            "first_run_s": round(bcompile, 3),
-            "stages_s": {k: round(v, 3)
-                         for k, v in rs_sync[0].timings.items()},
-        }
+            _, bcompile = run_batch(0)  # warmup/compile
+            rs, bwall = run_batch(1)
+            rs_sync, _ = run_batch(1, stage_sync=True)
+            btotal = sum(len(r.audio) / r.sample_rate for r in rs)
+            line["batched"][str(bsz)] = {
+                "batch": bsz,
+                "wall_s": round(bwall, 3),
+                "audio_s_total": round(btotal, 3),
+                "aggregate_rtf": round(bwall / max(btotal, 1e-9), 5),
+                "first_run_s": round(bcompile, 3),
+                "stages_s": {k: round(v, 3)
+                             for k, v in rs_sync[0].timings.items()},
+            }
+
+    # second-process cold start: with the persistent compilation cache now
+    # populated, a fresh process should start in seconds, not minutes
+    if not small and os.environ.get("BENCH_WARMSTART", "1") == "1":
+        env = dict(os.environ, BENCH_CHILD="1", BENCH_BATCH="0",
+                   BENCH_WARMSTART="0", BENCH_ALT_PATH="0")
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=900)
+            probe = json.loads(out.stdout.strip().splitlines()[-1])
+            line["second_process_first_run_s"] = probe["first_run_s"]
+        except Exception as e:  # never fail the bench on the probe
+            line["second_process_first_run_s"] = f"probe failed: {e}"
 
     print(json.dumps(line))
     return 0

@@ -15,6 +15,10 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+from tortoise_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 

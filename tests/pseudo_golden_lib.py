@@ -28,6 +28,26 @@ import numpy as np
 DATA_PATH = os.path.join(os.path.dirname(__file__), "data",
                          "pseudo_golden.npz")
 
+# per-key relative tolerance overrides (default 1e-3 of the fixture's
+# max-abs scale; see test_pseudo_golden.py). The production fast path —
+# bf16 activations, packed flash kernel, int8 weights — is pinned at
+# looser committed tolerances: its rounding is deterministic on the CPU
+# backend the tests run on, but leaving headroom means a legitimate
+# recompile-level change (op reordering inside jit) doesn't false-alarm,
+# while a real numerics bend (softmax edit, scale-math bug) still fails.
+TOLERANCES = {
+    "ar_decode_int8_": 5e-3,       # int8 weights, f32 activations
+    "diff_denoise_bf16_flash": 3e-2,   # bf16 + flash attention path
+    "packed_kernel_": 1e-5,        # interpret-mode kernel: near-exact f32
+}
+
+
+def tolerance_for(name: str) -> float:
+    for prefix, tol in TOLERANCES.items():
+        if name.startswith(prefix):
+            return tol
+    return 1e-3
+
 
 def compute_outputs() -> dict:
     """Evaluate every pinned quantity. Returns {name: np.ndarray}."""
@@ -79,6 +99,19 @@ def compute_outputs() -> dict:
                                 voice)
     out["ar_latents"] = np.asarray(latents)
 
+    # ---- production AR weight plane: int8 matmul weights (the benched
+    # default). Pins both the quantize_cols scale math and the pdot int8
+    # dot path; compared against the f32 logits by
+    # test_int8_stays_close_to_f32. ----
+    from tortoise_tpu.pipeline.ar_stage import cast_matmul_weights
+
+    params8 = cast_matmul_weights(params, None, int8=True)
+    _, cache8 = ar.prefill(params8, cfg, text_ids, text_valid, voice)
+    for i, toks in enumerate([(4, 9), (1, 2), (7, 3)]):
+        logits8, cache8 = ar.decode_step(
+            params8, cfg, cache8, jnp.asarray(toks, jnp.int32), jnp.int32(i))
+        out[f"ar_decode_int8_logits_{i}"] = np.asarray(logits8)
+
     # ---- stage 2: one denoiser eval (masked) + posterior update ----
     dcfg = tiny_diffusion_config()
     dparams = random_diffusion_params(dcfg, seed=3)
@@ -92,6 +125,48 @@ def compute_outputs() -> dict:
     eps = dmodel.denoise(dparams, dcfg, x, code, jnp.int32(1234), buckets,
                          mask=mask)
     out["diff_denoise"] = np.asarray(eps)
+
+    # ---- production diffusion fast path: bf16 activations + the PACKED
+    # flash kernel (interpret mode off-TPU). Needs d_head=64 so the
+    # packed head-slicing layout applies (6*64 lanes % 128 == 0); a
+    # 128-aligned length exercises the no-padding block schedule. ----
+    import dataclasses as _dc
+
+    # fresh stream: the sections above/below must keep their exact draws
+    prng = np.random.default_rng(21)
+    pcfg = _dc.replace(tiny_diffusion_config(), d_model=256, n_head=4,
+                       n_groups=8, timestep_dim=256, use_flash=True,
+                       flash_bq=64, flash_hpp=2)
+    pparams = random_diffusion_params(pcfg, seed=9)
+    pt = 128
+    px = jnp.asarray(prng.normal(0, 1, (2, pcfg.n_mel, pt)), jnp.float32)
+    pcode = jnp.asarray(prng.normal(0, 0.5, (2, pcfg.d_model, pt)),
+                        jnp.float32)
+    pbuckets = jnp.asarray(relative_position_buckets(
+        pt, pcfg.rel_pos_buckets, pcfg.rel_pos_max_distance))
+    pmask = jnp.asarray(np.arange(pt)[None, :] < np.array([[128], [100]]),
+                        bool)
+    peps = dmodel.denoise(pparams, pcfg, px, pcode, jnp.int32(777),
+                          pbuckets, mask=pmask,
+                          compute_dtype=jnp.bfloat16)
+    out["diff_denoise_bf16_flash"] = np.asarray(peps)
+
+    # ---- the packed kernel in isolation, committed near-exactly: a bend
+    # in its online-softmax/band-bias math cannot hide behind the looser
+    # end-to-end tolerance above ----
+    from tortoise_tpu.ops.pallas.flash_attention import (
+        flash_attention_packed,
+    )
+
+    kh, kd, kt = 4, 64, 128
+    kqkv = jnp.asarray(prng.normal(0, 1, (1, kt, 3 * kh * kd)), jnp.float32)
+    ktable = jnp.asarray(prng.normal(0, 0.3, (32, kh)), jnp.float32)
+    kvalid = jnp.asarray(np.arange(kt)[None, :] < 112, bool)
+    out["packed_kernel_masked"] = np.asarray(flash_attention_packed(
+        kqkv, kh, kvalid, bias_table=ktable, bq=64, interpret=True,
+        hpp=2))
+    out["packed_kernel_unmasked"] = np.asarray(flash_attention_packed(
+        kqkv, kh, None, bias_table=ktable, bq=64, interpret=True, hpp=2))
 
     # production DDPM schedule constants (the f32-quirk betas feed every
     # posterior update; pin a stride-sampled slice of each array)

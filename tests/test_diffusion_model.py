@@ -293,3 +293,36 @@ def test_group_norm_fast_matches_exact():
                              else jnp.asarray(m), fast=True)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
                                    atol=2e-4)
+
+
+def test_int8_denoiser_close_and_runs(setup):
+    """int8 MXU plane (quantize_diffusion_weights): per-column weight +
+    dynamic per-row activation quantization keeps a single denoiser eval
+    within a few percent of f32 — the accumulated 80-step divergence is
+    bounded by the same ancestral-process chaos as bf16 (PARITY.md)."""
+    import jax.numpy as jnp
+
+    from tortoise_tpu.pipeline.diffusion_stage import (
+        quantize_diffusion_weights,
+    )
+
+    cfg, params, _, _ = setup
+    rng = np.random.default_rng(5)
+    t = 12
+    x = jnp.asarray(rng.normal(0, 1, (2, cfg.n_mel, t)), jnp.float32)
+    code = jnp.asarray(rng.normal(0, 0.5, (2, cfg.d_model, t)), jnp.float32)
+    buckets = jnp.asarray(relative_position_buckets(
+        t, cfg.rel_pos_buckets, cfg.rel_pos_max_distance))
+    o32 = np.asarray(dm.denoise(params, cfg, x, code, jnp.int32(7), buckets))
+    p8 = quantize_diffusion_weights(params)
+    o8 = np.asarray(dm.denoise(p8, cfg, x, code, jnp.int32(7), buckets))
+    rel = np.max(np.abs(o8 - o32)) / max(np.max(np.abs(o32)), 1e-9)
+    assert np.isfinite(o8).all()
+    assert rel < 0.06, f"int8 denoiser relative error {rel:.4f}"
+
+    # masked rows stay exactly zero through the quantized convs
+    mask = jnp.asarray(np.arange(t)[None, :] < np.array([[t], [t - 3]]),
+                       bool)
+    om = np.asarray(dm.denoise(p8, cfg, x, code, jnp.int32(7), buckets,
+                               mask=mask))
+    assert np.all(om[1, :, t - 3:] == 0.0)

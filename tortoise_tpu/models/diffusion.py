@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 
 from tortoise_tpu.config import DiffusionConfig
-from tortoise_tpu.ops.basic import group_norm_tc, pdot, silu
+from tortoise_tpu.ops.basic import group_norm_tc, pdot, pdot_int8act, silu
 from tortoise_tpu.ops.conv import conv1d_nwc
 from tortoise_tpu.ops.relpos import relpos_bias
 
@@ -57,6 +57,14 @@ NEG_INF = -1e30
 
 
 def _linear(x, w, b, compute_dtype=None, out_dtype=None):
+    if isinstance(w, tuple):
+        # pre-transposed int8 pair (quantize_diffusion_weights): int8 MXU
+        # dot with dynamic activation quantization
+        out = pdot_int8act(x, w)
+        od = out_dtype or None
+        if od is not None:
+            return out.astype(od) + b.astype(od)
+        return out + b
     if out_dtype is not None and compute_dtype is not None:
         return pdot(x, w.T, compute_dtype, out_dtype) + b.astype(out_dtype)
     return pdot(x, w.T, compute_dtype) + b

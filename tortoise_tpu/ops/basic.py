@@ -62,6 +62,27 @@ def pdot(x: jax.Array, w, compute_dtype=None, out_dtype=None) -> jax.Array:
     )
 
 
+def pdot_int8act(x: jax.Array, w) -> jax.Array:
+    """int8 x int8 -> int32 matmul with dynamic per-row activation
+    quantization. ``w`` is a ``(w_int8, scale)`` pair from
+    ``quantize_cols`` in the (..., in, out) matmul orientation.
+
+    Unlike ``pdot``'s weight-only int8 path (which converts the weight to
+    bf16 inside the dot and only saves HBM bytes), this feeds the MXU's
+    int8 mode: measured 115 vs 96 TF/s against bf16 at the denoiser's
+    (4352, 1024, 3072) chain shapes on v5e (scripts/ubench_int8_matmul.py,
+    r3) — the activation quantize/dequantize VPU passes included. Error:
+    per-row symmetric activation quantization adds ~0.4% relative on top
+    of the weight quantization's ~0.4%. Returns float32."""
+    wq, scale = w
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    s_row = jnp.maximum(absmax.astype(jnp.float32), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_row), -127,
+                  127).astype(jnp.int8)
+    acc = jnp.matmul(xq, wq, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * s_row * scale
+
+
 def quantize_cols(w: jax.Array):
     """Symmetric per-output-column int8 quantization of a weight oriented
     for ``x @ w`` ((..., in, out); the reduction is over the `in` axis, so

@@ -51,7 +51,34 @@ def conv1d_nwc(x, w, b=None, stride: int = 1, padding: int = 0,
     XLA:TPU's conv lowering wants a (T, N, C) physical layout, which
     forced a transposed relayout of every producer in the denoiser
     (~5 ms/CFG-step of the r2 loop profile); the matmul form keeps the
-    whole chain in the C-minor layout every other hot op uses."""
+    whole chain in the C-minor layout every other hot op uses.
+
+    ``w`` may be an int8 pair ``(wmat_int8, scale)`` with wmat already in
+    the (K*C_in, C_out) matmul orientation (see
+    quantize_diffusion_weights): the dense-case matmul then runs on the
+    int8 MXU path with dynamic activation quantization. The kernel size
+    is implied by ``padding`` (the dense case requires k = 2*padding+1),
+    keeping the pair a clean two-leaf pytree for lax.scan stacking."""
+    if isinstance(w, tuple):
+        from tortoise_tpu.ops.basic import pdot_int8act
+
+        wq, scale = w
+        k = 2 * padding + 1
+        assert stride == 1 and dilation == 1 and groups == 1
+        if k == 1:
+            xk = x
+        else:
+            pad = (k - 1) // 2
+            xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+            t = x.shape[1]
+            xk = jnp.concatenate([xp[:, j : j + t] for j in range(k)],
+                                 axis=-1)
+        out = pdot_int8act(xk, (wq, scale))
+        if out_dtype is not None:
+            out = out.astype(out_dtype)
+        if b is not None:
+            out = out + (b.astype(out_dtype) if out_dtype else b)
+        return out
     k = w.shape[-1]
     if (k <= 3 and stride == 1 and dilation == 1 and groups == 1
             and padding == (k - 1) // 2 and k % 2 == 1):

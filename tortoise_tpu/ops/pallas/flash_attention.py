@@ -35,6 +35,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # softmax via exp2: exp(x) = exp2(x*log2(e));
+# folding log2(e) into the q scale and the (precomputed) bias/mask terms
+# removes one full-width VPU multiply pass per score tile — the kernels
+# are ~40% VPU-bound at production shapes (r3 profile)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
@@ -131,7 +135,9 @@ def _attn_kernel_rowblock(q_ref, k_ref, v_ref, band_ref, scal_ref, mask_ref,
         s_ref[:, pl.ds(qi * bq, 3 * bq)] += band_ref[g]
         s = s_ref[:, bq : bq + t_kv]
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        # scores are in the log2 domain (caller folded log2(e) into the q
+        # scale and the bias terms): exp2 saves a VPU multiply pass
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         ctx = jnp.dot(p.astype(v.dtype), v,
                       preferred_element_type=jnp.float32)
@@ -210,8 +216,9 @@ def _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref, mask_ref,
     # (bool `where` on the scores costs ~3x the whole kernel)
     maskrow = mask_ref[0, 0][None, :] if have_mask else None
     for g in range(hpp):
-        # 1/sqrt(64) is a power of two: folding it into q in the input
-        # dtype is exact
+        # scale carries a folded log2(e): scores live in the log2 domain
+        # so the softmax uses exp2 directly (one fewer VPU pass than exp);
+        # the bias band/scalars/mask arrive pre-scaled by the caller
         q = qrow_ref[0][:, 3 * d * g : 3 * d * g + d] \
             * jnp.asarray(scale, qrow_ref.dtype)
         k = kv_ref[0][:, 3 * d * g + d : 3 * d * g + 2 * d]
@@ -228,7 +235,7 @@ def _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref, mask_ref,
         s_ref[:, pl.ds(qi * bq, 3 * bq)] += band_ref[g]
         s = s_ref[:, bq : bq + t_kv]
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         ctx = jnp.dot(p.astype(kv_ref.dtype), v,
                       preferred_element_type=jnp.float32)
@@ -299,8 +306,11 @@ def flash_attention_packed(
             bias_table, bq, scale=bias_scale,
             num_buckets=bias_table.shape[0],
             max_distance=bias_max_distance)
-    scalars = band_scalars
-    band_cat = band.swapaxes(1, 2).reshape(n_head, bq, 3 * bq)
+    # log2-domain softmax: pre-scale every additive score term by log2(e)
+    # (the q scale carries it too); the kernel then uses exp2 directly
+    scalars = (band_scalars.astype(jnp.float32) * LOG2E).astype(
+        band_scalars.dtype)
+    band_cat = (band * LOG2E).swapaxes(1, 2).reshape(n_head, bq, 3 * bq)
 
     while n_head % hpp or hpp % 2:
         hpp -= 1
@@ -322,12 +332,14 @@ def flash_attention_packed(
                  out_ref, s_ref):
             _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref,
                                 mask_ref, out_ref, s_ref, bq=bq, t_kv=tp,
-                                d=d, scale=scale, have_mask=True, hpp=hpp)
+                                d=d, scale=scale * LOG2E, have_mask=True,
+                                hpp=hpp)
     else:
         def kern(qrow_ref, kv_ref, band_ref, scal_ref, out_ref, s_ref):
             _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref,
                                 None, out_ref, s_ref, bq=bq, t_kv=tp,
-                                d=d, scale=scale, have_mask=False, hpp=hpp)
+                                d=d, scale=scale * LOG2E,
+                                have_mask=False, hpp=hpp)
 
     params = {}
     if not interpret:
@@ -439,7 +451,10 @@ def flash_attention(
             bias_table, bq, scale=bias_scale,
             num_buckets=bias_table.shape[0],
             max_distance=bias_max_distance)
-        qs = qp * jnp.asarray(scale, qp.dtype)
+        # log2-domain softmax (see LOG2E): scale q and the bias terms
+        band = band * LOG2E
+        scalars = (scalars.astype(jnp.float32) * LOG2E).astype(scalars.dtype)
+        qs = qp * jnp.asarray(scale * LOG2E, qp.dtype)
         out = _grouped_flash(qs, kp, vp, band, scalars,
                              maskp if have_mask else None,
                              bq=bq, bk=bk, tq=tq, tkv=tkv, group=group,

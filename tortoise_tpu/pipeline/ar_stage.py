@@ -50,7 +50,18 @@ def cast_matmul_weights(params, dtype, int8: bool = False):
     ALL leaves are moved to the default device. Leaving leaves as numpy
     means every jitted entry point re-uploads them per call — measured
     ~0.6 s per call through the remote-TPU tunnel just for the embedding
-    tables, which dwarfed the ~2 ms/step on-device decode loop."""
+    tables, which dwarfed the ~2 ms/step on-device decode loop.
+
+    Results are memoized per (tree identity, dtype, int8) — requantizing
+    the ~350 MB weight stack eagerly on every synthesize() call costs
+    real wall time."""
+    from tortoise_tpu.pipeline.common import cached_cast
+
+    return cached_cast(params, ("armw", str(dtype), int8),
+                       lambda p: _cast_matmul_weights(p, dtype, int8))
+
+
+def _cast_matmul_weights(params, dtype, int8: bool = False):
     from tortoise_tpu.pipeline.common import ensure_device
 
     if int8:

@@ -27,3 +27,54 @@ def ensure_device(tree):
     import jax.numpy as jnp
 
     return jax.tree.map(jnp.asarray, tree)
+
+
+_client_tokens: dict = {}
+
+
+def backend_token() -> int:
+    """Cache key component tying device-resident caches to the live
+    backend: after jax.extend.backend.clear_backends() (the multichip
+    dryrun does this) cached arrays are dead; a fresh monotonic token per
+    client object makes lookups miss instead of returning them. Keyed by
+    a weakref so a recycled id() of a freed client can't alias its token;
+    tokens are never reused."""
+    import weakref
+
+    import jax
+
+    client = jax.devices()[0].client
+    key = id(client)
+    entry = _client_tokens.get(key)
+    if entry is not None:
+        ref, token = entry
+        if ref() is client:
+            return token
+    token = backend_token.counter = getattr(backend_token, "counter", 0) + 1
+    try:
+        ref = weakref.ref(client)
+    except TypeError:
+        # client type doesn't support weakrefs: hold it strongly so its
+        # id can never be recycled while the token maps to it
+        ref = (lambda c: (lambda: c))(client)
+    _client_tokens[key] = (ref, token)
+    return token
+
+
+_cast_cache: dict = {}
+
+
+def cached_cast(params, key, fn):
+    """Memoize a param-tree transformation (dtype cast / int8 quantize)
+    per (tree identity, backend, key): re-quantizing a few hundred MB of
+    weights eagerly on every synthesize() call costs real wall time
+    through the remote-TPU tunnel. The cached entry holds the original
+    tree, so its id() can't be recycled while the entry is alive; the
+    backend token invalidates entries after clear_backends."""
+    full_key = (id(params), backend_token(), key)
+    ent = _cast_cache.get(full_key)
+    if ent is not None and ent[0] is params:
+        return ent[1]
+    out = fn(params)
+    _cast_cache[full_key] = (params, out)
+    return out

@@ -200,6 +200,7 @@ def synthesize_batch(
         mel_dev, out_lens = diffusion_batch_device(
             models.diffusion_params, lat_dev, keeps, models.diffusion_cfg,
             seed=seed + 1, compute_dtype=compute_dtype, mesh=mesh,
+            int8_weights=int8_weights,
         )
         if stage_sync:
             _sync(mel_dev)
@@ -235,7 +236,8 @@ def synthesize_batch(
         mels = diffusion_batch(models.diffusion_params, latents,
                                models.diffusion_cfg, seed=seed + 1,
                                compute_dtype=compute_dtype, mesh=mesh,
-                               progress=progress)
+                               progress=progress,
+                               int8_weights=int8_weights)
         timings["diffusion_s"] = time.monotonic() - t0
 
         t0 = time.monotonic()
@@ -312,7 +314,7 @@ def synthesize(
         mel_dev, out_lens = diffusion_stage.diffusion_batch_device(
             models.diffusion_params, lat_dev[0:1], [keeps[0]],
             models.diffusion_cfg, seed=seed + 1,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, int8_weights=int8_weights,
         )
         if stage_sync:
             _sync(mel_dev)
@@ -346,7 +348,7 @@ def synthesize(
         mel = diffusion_stage.diffusion(
             models.diffusion_params, latents[0], models.diffusion_cfg,
             seed=seed + 1, rng=rng, compute_dtype=compute_dtype,
-            progress=progress,
+            progress=progress, int8_weights=int8_weights,
         )
         timings["diffusion_s"] = time.monotonic() - t0
 
