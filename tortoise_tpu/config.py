@@ -40,6 +40,11 @@ class ARConfig:
     # main.cpp:794-797, silently overflows for long generations; we size it
     # correctly instead.)
     cache_len: int = 1024
+    # fused Pallas decode trunk (ops/pallas/decode_trunk.py): one kernel
+    # per token instead of a 30-iteration XLA scan. Engages only on the
+    # int8 + bfloat16 production plane at small batch; the f32 parity
+    # path never dispatches to it.
+    fused_decode: bool = True
 
     @property
     def d_head(self) -> int:

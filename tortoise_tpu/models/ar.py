@@ -210,7 +210,22 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
     Mosaic relayouts on v5e (measured: flat formulation 2.9 ms/step vs
     5D formulation 11.9, scripts/ubench_decode_bisect.py) while the
     weight-streaming floor is ~1.6 ms/step.
+
+    On the int8 + bfloat16 production plane the whole trunk dispatches to
+    the fused Pallas kernel (ops/pallas/decode_trunk.py) — the XLA scan's
+    ~15 small fusions per layer cost ~0.3 ms/step of op overhead alone.
     """
+    if (cfg.fused_decode and not qkv_f16
+            and compute_dtype == jnp.bfloat16
+            and isinstance(params["blocks"].get("attn_w"), tuple)
+            and tokens.shape[0] == 1):
+        # B=1 only for now: the kernel unrolls per-(batch, head) score
+        # dots, and Mosaic compile time grows with the unroll (B=1 is
+        # ~8 min cold through the remote compiler, amortized by the
+        # persistent cache). Measured 1.08 vs 1.59 ms/step against the
+        # XLA scan at production shapes (int8, cache 640).
+        return _decode_step_fused(params, cfg, cache, tokens, step,
+                                  compute_dtype)
     b = tokens.shape[0]
     h_, dh = cfg.n_head, cfg.d_head
     x = jnp.take(params["mel_emb"], tokens, axis=0) \
@@ -284,6 +299,31 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
         cache.v, v_rows.reshape(l_, b, 1, h_ * dh).astype(cache.v.dtype),
         (0, 0, n, 0))
     logits = _head(params, h, cfg, compute_dtype)
+    valid = cache.valid.at[:, n].set(True)
+    return logits, KVCache(k, v, valid, n + 1)
+
+
+def _decode_step_fused(params, cfg: ARConfig, cache: KVCache,
+                       tokens: jax.Array, step: jax.Array,
+                       compute_dtype) -> Tuple[jax.Array, KVCache]:
+    """decode_step via the fused Pallas trunk (int8 weights, bf16 cache).
+    Identical semantics; the kernel carries the activation in VMEM and
+    streams each layer's int8 weights + KV slice once."""
+    from tortoise_tpu.ops.pallas.decode_trunk import fused_decode_trunk
+
+    x = jnp.take(params["mel_emb"], tokens, axis=0) \
+        + jnp.take(params["mel_pos"], step + 2, axis=0)  # (B, D)
+    n = cache.length
+    bias_row = jnp.where(cache.valid, 0.0, NEG_INF).astype(jnp.float32)
+    hidden, k_rows, v_rows = fused_decode_trunk(
+        params["blocks"], cache.k, cache.v, bias_row,
+        x.astype(jnp.float32), n_head=cfg.n_head, eps=cfg.ln_eps,
+        interpret=jax.default_backend() != "tpu")
+    k = jax.lax.dynamic_update_slice(
+        cache.k, k_rows[:, :, None, :].astype(cache.k.dtype), (0, 0, n, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, v_rows[:, :, None, :].astype(cache.v.dtype), (0, 0, n, 0))
+    logits = _head(params, hidden, cfg, compute_dtype)
     valid = cache.valid.at[:, n].set(True)
     return logits, KVCache(k, v, valid, n + 1)
 
