@@ -50,9 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 matmuls (faster on TPU)")
     p.add_argument("--int8-weights", action="store_true",
-                   help="int8 AR matmul weights (per-column scales): half "
-                        "the decode weight-streaming bytes, ~3e-3 relative "
-                        "logit error")
+                   help="int8 matmul weights (per-column scales): halves "
+                        "the AR decode weight-streaming bytes (~3e-3 "
+                        "relative logit error, fused Pallas decode trunk) "
+                        "and runs the denoiser's hot matmuls on the int8 "
+                        "MXU (~10%% off the diffusion step)")
     p.add_argument("--diffusion-steps", type=int, default=80,
                    help="respaced DDPM steps (80 matches the reference; "
                         "fewer is faster at some quality cost)")

@@ -64,6 +64,14 @@ def backend_token() -> int:
 _cast_cache: dict = {}
 
 
+def clear_cast_cache() -> None:
+    """Drop every memoized cast tree (frees their device buffers once no
+    other references remain). Benchmarks that measure several weight
+    planes in one process call this between planes so the unused plane's
+    HBM doesn't crowd out batch activations."""
+    _cast_cache.clear()
+
+
 def cached_cast(params, key, fn):
     """Memoize a param-tree transformation (dtype cast / int8 quantize)
     per (tree identity, backend, key): re-quantizing a few hundred MB of

@@ -37,16 +37,21 @@ class TortoiseModels:
     vocoder_cfg: VocoderConfig = VocoderConfig()
     tokenizer: Optional[Tokenizer] = None
 
-    def to_device(self) -> "TortoiseModels":
-        """Move all param trees onto the default device, in place.
+    def to_device(self, include_ar: bool = True) -> "TortoiseModels":
+        """Move param trees onto the default device, in place.
 
         Host-resident (numpy) params are re-uploaded by jit on EVERY
         call — seconds per stage through a remote-TPU tunnel. Idempotent:
         already-committed arrays are left untouched. synthesize() /
-        synthesize_batch() call this automatically."""
+        synthesize_batch() call this automatically with include_ar=False:
+        the AR stage always goes through cast_matmul_weights, which
+        places (or quantizes) the tree itself — uploading the f32 blocks
+        first would just park ~1.2 GB of dead weights in HBM next to the
+        bf16/int8 cast actually used (an OOM source on shared slices)."""
         from tortoise_tpu.pipeline.common import ensure_device
 
-        self.ar_params = ensure_device(self.ar_params)
+        if include_ar:
+            self.ar_params = ensure_device(self.ar_params)
         self.diffusion_params = ensure_device(self.diffusion_params)
         self.vocoder_params = ensure_device(self.vocoder_params)
         return self
@@ -175,7 +180,7 @@ def synthesize_batch(
     if voices is None:
         raise ValueError("voice latents are required")
 
-    models.to_device()
+    models.to_device(include_ar=False)
     timings = {}
     if progress is None:
         # device-resident stage handoff: latents and mel never round-trip
@@ -293,7 +298,7 @@ def synthesize(
 
         rng = ReferenceRng(seed)
 
-    models.to_device()
+    models.to_device(include_ar=False)
     timings = {}
     if sampler == "jax" and rng is None and progress is None:
         # device-resident fast path: latents and mel never round-trip
