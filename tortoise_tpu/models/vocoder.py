@@ -123,12 +123,16 @@ def location_variable_conv(x, kernel, bias, hop: int, compute_dtype=None):
     _, _, c_out, k, l = kernel.shape
     pad = (k - 1) // 2
     xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
-    # windows[b, l, s, i*K + k] = xp[b, i, l*hop + s + k]
-    shifted = jnp.stack([xp[:, :, j : j + t] for j in range(k)], axis=2)
-    win = shifted.reshape(b, c_in * k, t).transpose(0, 2, 1)
+    # windows[b, l, s, k*C_in + i] = xp[b, i, l*hop + s + k] — tap-MAJOR
+    # column order via a channel-axis concat: stacking the K shifted views
+    # on their own axis makes a (B, C_in, K, T) intermediate whose K=3
+    # sublane dim pads 8/3 ≈ 4x in HBM (6.5 GB at the B=16 serving point)
+    shifted = jnp.concatenate([xp[:, :, j : j + t] for j in range(k)],
+                              axis=1)                # (B, K*C_in, T)
+    win = shifted.transpose(0, 2, 1)
     win = win.reshape(b, l, hop, c_in * k)
-    # kern[b, l, i*K + k, o]
-    kern = kernel.transpose(0, 4, 1, 3, 2).reshape(b, l, c_in * k, c_out)
+    # kern[b, l, k*C_in + i, o] — matching tap-major order
+    kern = kernel.transpose(0, 4, 3, 1, 2).reshape(b, l, c_in * k, c_out)
     if compute_dtype is not None:
         win = win.astype(compute_dtype)
         kern = kern.astype(compute_dtype)
