@@ -89,11 +89,26 @@ def vocoder_batch_device(
     totals = lens + cfg.mel_pad_frames
     pad_total = round_up(int(totals.max()), MEL_BUCKET)
     key = jax.random.PRNGKey(seed)
+    b = len(lens)
+    # the ~256x upsample makes LVC intermediates huge (~0.5 GB/row at
+    # production lengths); rows beyond 8 vocode in chunks — the stage is
+    # ~3% of wall, so the extra dispatch is noise, and the chunked jit
+    # reuses the 8-row compilation
+    chunk = 8 if mesh is None else max(b, 1)
+    starts = list(range(0, b, chunk))
+    # single chunk keeps the original key so the noise stream (and audio)
+    # matches the unchunked/legacy paths bit for bit
+    keys = [key] if len(starts) == 1 else list(
+        jax.random.split(key, len(starts)))
+    parts = []
     with mesh_context(mesh):
-        audio = np.asarray(_vocoder_dev_jit(
-            params, cfg, mel_dev, jnp.asarray(lens), pad_total, key,
-            compute_dtype,
-        )).astype(np.float32) / 32767.0
+        for lo, sub in zip(starts, keys):
+            hi = min(b, lo + chunk)
+            parts.append(np.asarray(_vocoder_dev_jit(
+                params, cfg, mel_dev[lo:hi], jnp.asarray(lens[lo:hi]),
+                pad_total, sub, compute_dtype,
+            )).astype(np.float32) / 32767.0)
+    audio = np.concatenate(parts, axis=0)
     return [audio[i, : totals[i] * cfg.total_upsample - 6]
             for i in range(len(lens))]
 
