@@ -114,8 +114,11 @@ def main() -> int:
 
     if child:
         # second-process probe: report this process's first-run wall (the
-        # persistent-cache warm-start cost) and exit
-        print(json.dumps({"first_run_s": round(compile_wall, 3)}))
+        # persistent-cache warm-start cost: weight upload + cached-compile
+        # loads) plus one steady-state pass, and exit
+        _, steady = run(1)
+        print(json.dumps({"first_run_s": round(compile_wall, 3),
+                          "steady_run_s": round(steady, 3)}))
         return 0
 
     # the shared dev TPU slice shows +-50% run-to-run variance; report the
@@ -221,6 +224,7 @@ def main() -> int:
                 capture_output=True, text=True, timeout=900)
             probe = json.loads(out.stdout.strip().splitlines()[-1])
             line["second_process_first_run_s"] = probe["first_run_s"]
+            line["second_process_steady_run_s"] = probe.get("steady_run_s")
         except Exception as e:  # never fail the bench on the probe
             line["second_process_first_run_s"] = f"probe failed: {e}"
 
