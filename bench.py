@@ -253,9 +253,15 @@ def roofline_stats(models, result, use_bf16: bool,
     d = acfg.d_model
     per_layer = d * 3 * d + d * d + d * 4 * d + 4 * d * d
     ar_bytes = (acfg.n_layer * per_layer + acfg.n_mel_vocab * d) * wbytes
+    # each step also streams the whole KV cache (bf16, 2 tensors), sized
+    # to the text bucket like the driver does
+    from tortoise_tpu.pipeline.ar_stage import pick_bucket, size_cache
+
+    c = size_cache(acfg, pick_bucket(len(result.tokens))).cache_len
+    cache_bytes = acfg.n_layer * c * d * 2 * (2 if use_bf16 else 4)
     n_steps = max(len(result.sequences[0]), 1)
     ar_ms = result.timings["autoregressive_s"] * 1e3 / n_steps
-    ar_floor_ms = ar_bytes / HBM_GBPS * 1e3
+    ar_floor_ms = (ar_bytes + cache_bytes) / HBM_GBPS * 1e3
 
     if result.mel is not None:
         t = result.mel.shape[-1]

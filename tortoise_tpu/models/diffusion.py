@@ -76,11 +76,14 @@ def _use_packed(cfg: DiffusionConfig) -> bool:
 
 
 def _packed_bq(t: int, cfg: DiffusionConfig) -> int:
-    """Query block size for the packed kernel — must match the clamp in
-    flash_attention_packed so precomputed bands line up. cfg.flash_bq=128
-    measured fastest at T~2176 (2176 = 17x128 needs no padding; 256 pads
-    to 2304, +6% kernel work — r2 corrected sweep 16.2 vs 16.7 ms/step)."""
-    return min(cfg.flash_bq, max(t, 8))
+    """Query block size for the packed kernel — must match the rule in
+    flash_attention_packed (rowblock_bq: a multiple of 128, short T pads
+    up) so precomputed bands line up. cfg.flash_bq=128 measured fastest
+    at T~2176 (2176 = 17x128 needs no padding; 256 pads to 2304, +6%
+    kernel work — r2 corrected sweep 16.2 vs 16.7 ms/step)."""
+    from tortoise_tpu.ops.pallas.flash_attention import rowblock_bq
+
+    return rowblock_bq(cfg.flash_bq)
 
 
 def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,

@@ -284,8 +284,9 @@ def flash_attention_packed(
     if scale is None:
         scale = 1.0 / (d ** 0.5)
     # bq is caller-controlled (models/diffusion._packed_bq) so precomputed
-    # band biases always match the block size
-    bq = min(bq, max(t, 8))
+    # band biases always match the block size; it must stay 128-aligned
+    # (rowblock_bq) — short T pads up to one block
+    bq = rowblock_bq(bq)
     qkvp = _pad_to(qkv, 1, bq)
     tp = qkvp.shape[1]
     if kv_valid is None and tp != t:
@@ -363,6 +364,17 @@ def flash_attention_packed(
     return out[:, :t, :]
 
 
+def rowblock_bq(bq: int) -> int:
+    """Legal query block size for the row-block kernels.
+
+    They dynamic-slice the score scratch at column qi*bq (lane dim), and
+    Mosaic requires that start to be provably 128-aligned — so bq must be
+    a multiple of 128 regardless of T; short sequences pad T up to bq
+    rather than clamping bq down (which compiled fine only in interpret
+    mode and failed Mosaic on real TPU for T < 128)."""
+    return bq if bq > 0 and bq % 128 == 0 else 128
+
+
 def _pad_to(x, axis, mult):
     t = x.shape[axis]
     pad = (-t) % mult
@@ -412,11 +424,17 @@ def flash_attention(
     b, h, t, d = q.shape
     if scale is None:
         scale = 1.0 / (d ** 0.5)
-    bq = min(bq, max(t, 8))
-    bk = min(bk, max(t, 8))
     block_bias = bias_buckets is not None or bias_formula
-    if block_bias:
-        bq = bk = min(bq, bk)  # the Toeplitz trick needs square tiles
+    if bias_formula and not causal:
+        # grouped row-block path: its scratch slicing needs bq to stay a
+        # multiple of 128 (rowblock_bq); pad short T up instead of
+        # clamping bq down
+        bq = bk = rowblock_bq(min(bq, bk))
+    else:
+        bq = min(bq, max(t, 8))
+        bk = min(bk, max(t, 8))
+        if block_bias:
+            bq = bk = min(bq, bk)  # the Toeplitz trick needs square tiles
 
     qp = _pad_to(q, 2, bq)
     kp = _pad_to(k, 2, bk)
