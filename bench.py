@@ -21,7 +21,9 @@ tests/test_pseudo_golden.py); the JSON also reports the bf16-weights
 decode path side by side. Env knobs: BENCH_SMALL=1 reduced-size smoke
 run; BENCH_F32=1 full float32; BENCH_INT8=0 to bench bf16 weights as the
 headline; BENCH_BATCH_SIZES=4,8,16 serving sweep (BENCH_BATCH=0 skips);
-BENCH_WARMSTART=0 skips the second-process cold-start probe.
+BENCH_WARMSTART=0 skips the second-process cold-start probe;
+BENCH_WEIGHTS_CACHE overrides (empty disables) the host-tree npz cache
+the warm-start child loads instead of regenerating weights.
 """
 
 import dataclasses
@@ -41,7 +43,13 @@ def build_models(small, use_bf16):
 
     from tortoise_tpu.pipeline.synthesize import TortoiseModels
 
-    models = TortoiseModels.random(seed=0, tiny=small)
+    # host-tree npz cache: the warm-start child process loads the ~2.4 GB
+    # synthetic weights from disk instead of regenerating them (tens of
+    # seconds); BENCH_WEIGHTS_CACHE= (empty) disables
+    cache_dir = os.environ.get("BENCH_WEIGHTS_CACHE",
+                               "/tmp/tortoise_bench_weights")
+    models = TortoiseModels.random(seed=0, tiny=small,
+                                   cache_dir=cache_dir or None)
     if small:
         models.ar_cfg = dataclasses.replace(models.ar_cfg,
                                             max_decode_steps=8,
@@ -86,17 +94,35 @@ def main() -> int:
 
         compute_dtype = jnp.bfloat16
 
+    # int8 AR + denoiser matmul weights are the production default (decode
+    # is weight-streaming bound: 1.45 vs 1.86 ms/step measured r2; logit
+    # error pinned by tests/test_pseudo_golden.py)
+    int8 = os.environ.get("BENCH_INT8", "1") == "1" and use_bf16
+
+    t_build0 = time.monotonic()
     models = build_models(small, use_bf16)
+    build_s = time.monotonic() - t_build0
+    if child:
+        # split the warm-start cost: host weight generation above; the
+        # device upload through the tunnel here (on the int8 plane the
+        # denoiser is quantized host-side first, shipping 1 byte/weight;
+        # the AR tree is always cast/quantized host-side inside the run)
+        import jax.numpy as jnp_
+
+        t_up = time.monotonic()
+        models.to_device(include_ar=False, include_diffusion=not int8)
+        dtree = models.diffusion_params
+        if int8:
+            from tortoise_tpu.pipeline.diffusion_stage import _prepare_params
+
+            dtree = _prepare_params(models.diffusion_params, True)
+        np.asarray(jnp_.ravel(jax.tree.leaves(dtree)[0])[:1])
+        upload_s = time.monotonic() - t_up
     rng = np.random.default_rng(0)
     tokens = [255] + rng.integers(
         3, models.ar_cfg.n_text_vocab, size=24
     ).tolist() + [0]
     voice = rng.normal(0, 0.5, (models.ar_cfg.d_model,)).astype(np.float32)
-
-    # int8 AR matmul weights are the production default (decode is
-    # weight-streaming bound: 1.45 vs 1.86 ms/step measured r2; logit
-    # error pinned by tests/test_pseudo_golden.py)
-    int8 = os.environ.get("BENCH_INT8", "1") == "1" and use_bf16
 
     def run(seed, stage_sync=False, int8_weights=int8):
         t0 = time.monotonic()
@@ -118,7 +144,9 @@ def main() -> int:
         # loads) plus one steady-state pass, and exit
         _, steady = run(1)
         print(json.dumps({"first_run_s": round(compile_wall, 3),
-                          "steady_run_s": round(steady, 3)}))
+                          "steady_run_s": round(steady, 3),
+                          "weights_build_s": round(build_s, 3),
+                          "upload_s": round(upload_s, 3)}))
         return 0
 
     # the shared dev TPU slice shows +-50% run-to-run variance; report the

@@ -165,6 +165,24 @@ def test_quantize_cols_roundtrip_error():
     assert (np.abs(recon - w) <= 0.5 * step + 1e-9).all()
 
 
+def test_quantize_cols_host_matches_device():
+    """The host (numpy) quantize twin must be bit-identical to the jnp
+    plane: pipelines pick one or the other by leaf residency (host int8
+    upload ships 1 byte/weight through the tunnel), so any divergence
+    would make cold-start runs differ from warm ones."""
+    import jax.numpy as jnp
+
+    from tortoise_tpu.ops.basic import quantize_cols, quantize_cols_host
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(0, 0.04, (2, 40, 56)).astype(np.float32)
+    w[0, 3, :] = 0.0  # exercise the zero-column epsilon guard
+    wq_d, sc_d = quantize_cols(jnp.asarray(w))
+    wq_h, sc_h = quantize_cols_host(w)
+    np.testing.assert_array_equal(np.asarray(wq_d), wq_h)
+    np.testing.assert_array_equal(np.asarray(sc_d), sc_h)
+
+
 def test_trim_keep_lengths_matches_trim_latents(tiny):
     cfg, *_ = tiny
     seqs = [

@@ -315,6 +315,13 @@ def test_int8_denoiser_close_and_runs(setup):
         t, cfg.rel_pos_buckets, cfg.rel_pos_max_distance))
     o32 = np.asarray(dm.denoise(params, cfg, x, code, jnp.int32(7), buckets))
     p8 = quantize_diffusion_weights(params)
+    # host (numpy) and device (jnp) quantize planes must agree bit-for-bit
+    # — pipelines pick one by leaf residency (host int8 ships 1 byte/weight
+    # through the tunnel on cold start)
+    p8_dev = quantize_diffusion_weights(
+        jax.tree.map(jnp.asarray, params))
+    for a, b in zip(jax.tree.leaves(p8), jax.tree.leaves(p8_dev)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     o8 = np.asarray(dm.denoise(p8, cfg, x, code, jnp.int32(7), buckets))
     rel = np.max(np.abs(o8 - o32)) / max(np.max(np.abs(o32)), 1e-9)
     assert np.isfinite(o8).all()

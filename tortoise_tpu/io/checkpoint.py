@@ -98,14 +98,24 @@ def ar_tensor_inventory(cfg: ARConfig = ARConfig()) -> Dict[str, tuple]:
 
 
 def random_ggml_tensors(inventory: Dict[str, tuple], seed: int = 0,
-                        scale: float = 0.02) -> Dict[str, np.ndarray]:
+                        scale: float = 0.02,
+                        fast: bool = False) -> Dict[str, np.ndarray]:
     """Synthetic checkpoint with the production tensor inventory — used for
     tests and benchmarking because the published weights are not
-    redistributable with this repo. Norm weights are centered at 1."""
+    redistributable with this repo. Norm weights are centered at 1.
+
+    fast=True draws float32 directly (~2x the f64-then-cast throughput on
+    ~600M bench-scale params) at the cost of a DIFFERENT stream; the
+    committed pseudo-golden fixtures pin the default f64 stream, so they
+    must keep fast=False."""
     rng = np.random.default_rng(seed)
     out = {}
     for name, shape in inventory.items():
-        arr = rng.normal(0.0, scale, size=shape).astype(np.float32)
+        if fast:
+            arr = rng.standard_normal(size=shape, dtype=np.float32)
+            arr *= np.float32(scale)
+        else:
+            arr = rng.normal(0.0, scale, size=shape).astype(np.float32)
         base = name.rsplit(".", 1)[0]
         norm_like = ("ln_1", "ln_2", "ln_f", "lm_head.0", "norm",
                      "in_layers.0", "out_layers.0", "out.0")
@@ -115,9 +125,10 @@ def random_ggml_tensors(inventory: Dict[str, tuple], seed: int = 0,
     return out
 
 
-def random_ar_params(cfg: ARConfig, seed: int = 0) -> dict:
+def random_ar_params(cfg: ARConfig, seed: int = 0,
+                     fast: bool = False) -> dict:
     return ar_params_from_tensors(
-        random_ggml_tensors(ar_tensor_inventory(cfg), seed), cfg
+        random_ggml_tensors(ar_tensor_inventory(cfg), seed, fast=fast), cfg
     )
 
 
@@ -330,9 +341,11 @@ def diffusion_params_from_tensors(tensors,
     }
 
 
-def random_diffusion_params(cfg: DiffusionConfig, seed: int = 0):
+def random_diffusion_params(cfg: DiffusionConfig, seed: int = 0,
+                            fast: bool = False):
     return diffusion_params_from_tensors(
-        random_ggml_tensors(diffusion_tensor_inventory(cfg), seed), cfg
+        random_ggml_tensors(diffusion_tensor_inventory(cfg), seed,
+                            fast=fast), cfg
     )
 
 
@@ -441,9 +454,10 @@ def vocoder_params_from_tensors(tensors,
     }
 
 
-def random_vocoder_params(cfg: VocoderConfig, seed: int = 0):
+def random_vocoder_params(cfg: VocoderConfig, seed: int = 0,
+                          fast: bool = False):
     tensors = random_ggml_tensors(vocoder_tensor_inventory(cfg), seed,
-                                  scale=0.05)
+                                  scale=0.05, fast=fast)
     # store conv_post 2-D like the real file
     tensors["conv_post.1.weight"] = tensors["conv_post.1.weight"].reshape(
         cfg.ch, 7)

@@ -61,16 +61,7 @@ def cast_matmul_weights(params, dtype, int8: bool = False):
                        lambda p: _cast_matmul_weights(p, dtype, int8))
 
 
-def _quantize_cols_host(w: np.ndarray):
-    """numpy twin of ops.basic.quantize_cols for host-resident leaves:
-    quantizing before upload ships int8 bytes instead of f32 through the
-    remote-TPU tunnel (~4x less; the f32 block stack is ~1.5 GB). Same
-    f32 math and round-half-even as the jnp version."""
-    wf = np.asarray(w, np.float32)
-    absmax = np.max(np.abs(wf), axis=-2, keepdims=True)
-    scale = np.maximum(absmax, np.float32(1e-12)) / np.float32(127.0)
-    wq = np.clip(np.rint(wf / scale), -127, 127).astype(np.int8)
-    return wq, scale.astype(np.float32)
+from tortoise_tpu.ops.basic import quantize_cols_host as _quantize_cols_host
 
 
 def _cast_matmul_weights(params, dtype, int8: bool = False):

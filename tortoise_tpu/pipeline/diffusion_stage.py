@@ -50,18 +50,27 @@ def quantize_diffusion_weights(params):
     latent conditioner (runs once per utterance, not in the 80-step
     loop), the tiny per-batch-row linears (time MLP, FiLM emb), the
     100-channel inp conv, and the 200-channel OUTPUT conv (the mel/
-    variance head keeps full precision)."""
-    from tortoise_tpu.ops.basic import quantize_cols
+    variance head keeps full precision).
+
+    Host-resident (numpy) leaves are quantized on the host so the later
+    device placement ships int8 bytes instead of f32 — ~4x less through
+    the remote-TPU tunnel's ~20 MB/s uplink (the quantized plane is most
+    of the ~440 MB denoiser). The numpy and jnp planes share the same f32
+    math and round-half-even (ops.basic.quantize_cols[_host])."""
+    from tortoise_tpu.ops.basic import quantize_cols, quantize_cols_host
+
+    def q(wm):
+        if isinstance(wm, np.ndarray):
+            return quantize_cols_host(wm)
+        return quantize_cols(wm)
 
     def q_lin(w):  # (..., out, in) -> ((..., in, out) int8, scale)
-        return quantize_cols(jnp.asarray(w).swapaxes(-1, -2))
+        return q(w.swapaxes(-1, -2))
 
     def q_conv(w):  # (..., out, in, k) -> ((..., k*in, out) int8, scale)
-        w = jnp.asarray(w)
         k, c_in, c_out = w.shape[-1], w.shape[-2], w.shape[-3]
-        wm = jnp.swapaxes(w, -1, -3).reshape(
-            *w.shape[:-3], k * c_in, c_out)
-        return quantize_cols(wm)
+        wm = w.swapaxes(-1, -3).reshape(*w.shape[:-3], k * c_in, c_out)
+        return q(wm)
 
     out = dict(params)
     for group in ("layers", "integrator", "tail"):
@@ -223,10 +232,13 @@ def _denoise_eval_jit(params, cfg, code_emb2, x, t_orig, out_buckets,
 def _prepare_params(params, int8_weights: bool):
     from tortoise_tpu.pipeline.common import cached_cast, ensure_device
 
-    params = cached_cast(params, "device", ensure_device)
     if int8_weights:
+        # quantize BEFORE placement: host leaves become int8 host-side and
+        # the upload ships 1 byte/weight instead of 4 (synthesize() skips
+        # its eager f32 diffusion upload on this path for the same reason)
         params = cached_cast(params, "int8", quantize_diffusion_weights)
-    return params
+        return cached_cast(params, "device", ensure_device)
+    return cached_cast(params, "device", ensure_device)
 
 
 def diffusion_batch(

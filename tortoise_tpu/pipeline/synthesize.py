@@ -37,7 +37,8 @@ class TortoiseModels:
     vocoder_cfg: VocoderConfig = VocoderConfig()
     tokenizer: Optional[Tokenizer] = None
 
-    def to_device(self, include_ar: bool = True) -> "TortoiseModels":
+    def to_device(self, include_ar: bool = True,
+                  include_diffusion: bool = True) -> "TortoiseModels":
         """Move param trees onto the default device, in place.
 
         Host-resident (numpy) params are re-uploaded by jit on EVERY
@@ -47,12 +48,16 @@ class TortoiseModels:
         the AR stage always goes through cast_matmul_weights, which
         places (or quantizes) the tree itself — uploading the f32 blocks
         first would just park ~1.2 GB of dead weights in HBM next to the
-        bf16/int8 cast actually used (an OOM source on shared slices)."""
+        bf16/int8 cast actually used (an OOM source on shared slices).
+        include_diffusion=False likewise defers the denoiser to the
+        diffusion stage's own _prepare_params, which on the int8 plane
+        quantizes host-side and uploads 1 byte/weight instead of 4."""
         from tortoise_tpu.pipeline.common import ensure_device
 
         if include_ar:
             self.ar_params = ensure_device(self.ar_params)
-        self.diffusion_params = ensure_device(self.diffusion_params)
+        if include_diffusion:
+            self.diffusion_params = ensure_device(self.diffusion_params)
         self.vocoder_params = ensure_device(self.vocoder_params)
         return self
 
@@ -88,28 +93,56 @@ class TortoiseModels:
         )
 
     @classmethod
-    def random(cls, seed: int = 0, tiny: bool = False) -> "TortoiseModels":
+    def random(cls, seed: int = 0, tiny: bool = False,
+               cache_dir: Optional[str] = None) -> "TortoiseModels":
         """Synthetic weights with the production (or tiny) tensor
         inventory — for benchmarking and flow tests (the published weights
-        are not redistributable with this repo)."""
+        are not redistributable with this repo). Draws float32 directly
+        (the committed pseudo-golden fixtures pin the slower f64 stream of
+        random_*_params(fast=False); nothing pins THESE values). Pass
+        cache_dir to memoize the host trees as .npz — regeneration costs
+        tens of seconds at production scale, so the bench's second-process
+        cold-start probe loads instead."""
+        import os
+
         from tortoise_tpu.config import (
             tiny_ar_config,
             tiny_diffusion_config,
             tiny_vocoder_config,
         )
         from tortoise_tpu.io.checkpoint import (
+            load_npz,
             random_ar_params,
             random_diffusion_params,
             random_vocoder_params,
+            save_npz,
         )
 
         acfg = tiny_ar_config() if tiny else ARConfig()
         dcfg = tiny_diffusion_config() if tiny else DiffusionConfig()
         vcfg = tiny_vocoder_config() if tiny else VocoderConfig()
+
+        def build(name, fn, cfg, s):
+            if cache_dir:
+                path = os.path.join(
+                    cache_dir,
+                    f"{name}_{'tiny' if tiny else 'full'}_{s}.npz")
+                if os.path.exists(path):
+                    return load_npz(path)
+                params = fn(cfg, s, fast=True)
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp = f"{path}.{os.getpid()}.tmp.npz"  # .npz: savez quirk
+                save_npz(tmp, params)
+                os.replace(tmp, path)
+                return params
+            return fn(cfg, s, fast=True)
+
         return cls(
-            ar_params=random_ar_params(acfg, seed),
-            diffusion_params=random_diffusion_params(dcfg, seed + 1),
-            vocoder_params=random_vocoder_params(vcfg, seed + 2),
+            ar_params=build("ar", random_ar_params, acfg, seed),
+            diffusion_params=build(
+                "diffusion", random_diffusion_params, dcfg, seed + 1),
+            vocoder_params=build(
+                "vocoder", random_vocoder_params, vcfg, seed + 2),
             ar_cfg=acfg, diffusion_cfg=dcfg, vocoder_cfg=vcfg,
         )
 
@@ -180,7 +213,7 @@ def synthesize_batch(
     if voices is None:
         raise ValueError("voice latents are required")
 
-    models.to_device(include_ar=False)
+    models.to_device(include_ar=False, include_diffusion=not int8_weights)
     timings = {}
     if progress is None:
         # device-resident stage handoff: latents and mel never round-trip
@@ -298,7 +331,7 @@ def synthesize(
 
         rng = ReferenceRng(seed)
 
-    models.to_device(include_ar=False)
+    models.to_device(include_ar=False, include_diffusion=not int8_weights)
     timings = {}
     if sampler == "jax" and rng is None and progress is None:
         # device-resident fast path: latents and mel never round-trip
