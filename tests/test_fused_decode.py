@@ -52,6 +52,41 @@ def test_fused_matches_xla_scan(setup):
         assert bool(np.all(np.asarray(c2.valid) == np.asarray(c1.valid)))
 
 
+def test_fused_sampler_matches_xla_chain(setup):
+    """decode_sample_step's in-kernel sampler (penalty -> top-k ->
+    nucleus -> inverse-CDF) must pick the same token as the XLA chain
+    (process_logits_topk + sample_from_topk_u) given the same uniform,
+    and advance the cache identically."""
+    import jax
+
+    from tortoise_tpu.ops import sampling as S
+
+    cfg, params, cache = setup
+    c1 = c2 = cache
+    key = jax.random.PRNGKey(7)
+    prev = jnp.asarray([4], jnp.int32)
+    for i in range(4):
+        key, k = jax.random.split(key)
+        u = jax.random.uniform(k, (1, 1), jnp.float32)
+        logits, c1 = ar.decode_step(params, cfg, c1, prev, jnp.int32(i),
+                                    jnp.bfloat16)
+        probs, ids = S.process_logits_topk(
+            logits, prev[:, None], *_xla_sampler_args(cfg))
+        want = S.sample_from_topk_u(u, probs, ids)
+        got, c2 = ar.decode_sample_step(params, cfg, c2, prev, jnp.int32(i),
+                                        u, jnp.bfloat16)
+        assert int(got[0]) == int(want[0]), f"step {i}"
+        np.testing.assert_allclose(
+            np.asarray(c2.k, np.float32), np.asarray(c1.k, np.float32),
+            atol=1e-4)
+        prev = got
+
+
+def _xla_sampler_args(cfg):
+    t, k, p, r = ar.DEFAULT_SAMPLER
+    return t, min(k, cfg.n_mel_vocab), p, r
+
+
 def test_fused_gates_correctly(setup):
     """The fused path must not engage off its plane: f32 weights, f32
     compute, or batch > 1 all take the XLA scan (observable: they run

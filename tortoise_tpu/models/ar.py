@@ -315,17 +315,72 @@ def _decode_step_fused(params, cfg: ARConfig, cache: KVCache,
         + jnp.take(params["mel_pos"], step + 2, axis=0)  # (B, D)
     n = cache.length
     bias_row = jnp.where(cache.valid, 0.0, NEG_INF).astype(jnp.float32)
-    hidden, k_rows, v_rows = fused_decode_trunk(
+    head = params.get("head_pack")
+    out = fused_decode_trunk(
         params["blocks"], cache.k, cache.v, bias_row,
-        x.astype(jnp.float32), n_head=cfg.n_head, eps=cfg.ln_eps,
+        x.astype(jnp.float32), head=head, n_head=cfg.n_head,
+        eps=cfg.ln_eps, interpret=jax.default_backend() != "tpu")
+    if head is not None:
+        # lm head fused into the kernel's final grid step (the separate
+        # double-LN + matvec dispatch cost ~0.28 ms/step of small-fusion
+        # overhead); slice off the lane padding
+        _, k_rows, v_rows, logits_pad = out
+        logits = logits_pad[:, :params["lm_b"].shape[0]]
+    else:
+        hidden, k_rows, v_rows = out
+        logits = _head(params, hidden, cfg, compute_dtype)
+    k = jax.lax.dynamic_update_slice(
+        cache.k, k_rows[:, :, None, :].astype(cache.k.dtype), (0, 0, n, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, v_rows[:, :, None, :].astype(cache.v.dtype), (0, 0, n, 0))
+    valid = cache.valid.at[:, n].set(True)
+    return logits, KVCache(k, v, valid, n + 1)
+
+
+DEFAULT_SAMPLER = (0.8, 50, 0.2, 2.0)  # temp, top_k, p_drop, penalty
+# (the reference's sampling defaults, main.cpp:4791-4793)
+
+
+def can_fuse_sampling(params, cfg: ARConfig, compute_dtype,
+                      batch: int) -> bool:
+    """True when decode_sample_step's fused decode+sample kernel plane is
+    available: B=1, bf16 compute, int8 weights with the padded head pack."""
+    return (cfg.fused_decode and batch == 1
+            and compute_dtype == jnp.bfloat16
+            and isinstance(params["blocks"].get("attn_w"), tuple)
+            and params.get("head_pack") is not None)
+
+
+def decode_sample_step(params, cfg: ARConfig, cache: KVCache,
+                       tokens: jax.Array, step: jax.Array, u: jax.Array,
+                       compute_dtype=None,
+                       sampler: tuple = DEFAULT_SAMPLER,
+                       ) -> Tuple[jax.Array, KVCache]:
+    """decode_step + the full sampler in ONE kernel dispatch (B=1 int8
+    plane): the trunk, lm head, repetition penalty, top-k, nucleus rule,
+    and the inverse-CDF draw against the pre-drawn uniform `u` ((1, 1)
+    f32) all run inside ops/pallas/decode_trunk.py. Outside the kernel
+    the head + sampler chains cost ~0.34 ms/step of small-fusion
+    overhead (r3 probe) against a 0.61 ms kernel. Returns
+    (sampled tokens (B,), updated cache)."""
+    from tortoise_tpu.ops.pallas.decode_trunk import fused_decode_trunk
+
+    x = jnp.take(params["mel_emb"], tokens, axis=0) \
+        + jnp.take(params["mel_pos"], step + 2, axis=0)  # (B, D)
+    n = cache.length
+    bias_row = jnp.where(cache.valid, 0.0, NEG_INF).astype(jnp.float32)
+    _, k_rows, v_rows, _, tok = fused_decode_trunk(
+        params["blocks"], cache.k, cache.v, bias_row,
+        x.astype(jnp.float32), head=params["head_pack"],
+        prev_u=(tokens.reshape(1, 1), u.reshape(1, 1)), sampler=sampler,
+        n_head=cfg.n_head, eps=cfg.ln_eps,
         interpret=jax.default_backend() != "tpu")
     k = jax.lax.dynamic_update_slice(
         cache.k, k_rows[:, :, None, :].astype(cache.k.dtype), (0, 0, n, 0))
     v = jax.lax.dynamic_update_slice(
         cache.v, v_rows[:, :, None, :].astype(cache.v.dtype), (0, 0, n, 0))
-    logits = _head(params, hidden, cfg, compute_dtype)
     valid = cache.valid.at[:, n].set(True)
-    return logits, KVCache(k, v, valid, n + 1)
+    return tok[:, 0], KVCache(k, v, valid, n + 1)
 
 
 def latent_forward(params, cfg: ARConfig, text_ids: jax.Array,

@@ -59,15 +59,90 @@ def _matvec_q8(y, wq_ref, scale, bias):
     return acc * scale + bias
 
 
+F32_LOWEST = -3.4028235e38
+
+
+def _sample(logits_ref, prev_ref, u_ref, tok_ref, sampler):
+    """In-kernel sampler: repetition penalty -> temperature -> top-k
+    (iterative argmax; ~50 VPU passes over the (1, Vp) row) -> the
+    reference's suffix-sum nucleus rule -> inverse-CDF draw against a
+    pre-drawn uniform. Mirrors ops.sampling.process_logits_topk +
+    sample_from_topk exactly (modulo float-identical logit ties); outside
+    the kernel that chain costs ~0.19 ms/step of small-fusion overhead.
+    The cumulative sums run as (1, K)x(K, K) triangular matmuls — a
+    lane-axis cumsum lowers poorly in Mosaic."""
+    temperature, top_k, top_p_drop, penalty = sampler
+    x = logits_ref[:]                                   # (1, Vp) f32
+    vp = x.shape[-1]
+    kk = 128                                            # padded k domain
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, vp), 1)
+    prev = prev_ref[:]                                  # (1, 1) int32
+    pen = jnp.where(x < 0, x * penalty, x / penalty)
+    x = jnp.where(lanes == prev, pen, x)
+    x = x * (1.0 / temperature)
+
+    # everything stays (1, 1)-shaped (keepdims reductions, broadcasting
+    # compares): Mosaic has no scalar VMEM load/store
+    kl = jax.lax.broadcasted_iota(jnp.int32, (1, kk), 1)
+
+    def pick(i, carry):
+        x, vals, ids = carry
+        m = jnp.max(x, axis=-1, keepdims=True)          # (1, 1)
+        idx = jnp.min(jnp.where(x == m, lanes, vp),
+                      axis=-1, keepdims=True)           # first on ties
+        vals = jnp.where(kl == i, m, vals)
+        ids = jnp.where(kl == i, idx, ids)
+        x = jnp.where(lanes == idx, F32_LOWEST, x)
+        return x, vals, ids
+
+    vals0 = jnp.full((1, kk), F32_LOWEST, jnp.float32)
+    ids0 = jnp.zeros((1, kk), jnp.int32)
+    _, vals, ids = jax.lax.fori_loop(0, top_k, pick, (x, vals0, ids0))
+
+    active = kl < top_k
+    v = jnp.where(active, vals, F32_LOWEST)
+    e = jnp.where(active,
+                  jnp.exp(v - jnp.max(v, axis=-1, keepdims=True)), 0.0)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    row = jax.lax.broadcasted_iota(jnp.int32, (kk, kk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (kk, kk), 1)
+    suffix = jnp.dot(p, (row >= col).astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    drop = (suffix <= top_p_drop) & (kl > 0)            # never drop #0
+    v2 = jnp.where(drop, F32_LOWEST, v)
+    e2 = jnp.where(active & ~drop,
+                   jnp.exp(v2 - jnp.max(v2, axis=-1, keepdims=True)), 0.0)
+    p2 = e2 / jnp.sum(e2, axis=-1, keepdims=True)
+    cum = jnp.dot(p2, (row <= col).astype(jnp.float32),
+                  preferred_element_type=jnp.float32)
+    pos = jnp.minimum(
+        jnp.sum(((cum < u_ref[:]) & active).astype(jnp.int32),
+                axis=-1, keepdims=True),
+        top_k - 1)                                      # (1, 1)
+    tok_ref[:] = jnp.sum(jnp.where(kl == pos, ids, 0),
+                         axis=-1, keepdims=True)
+
+
 def _kernel(x_ref, bias_ref,
             ln1w_ref, ln1b_ref, attnw_ref, attns_ref, attnb_ref,
             projw_ref, projs_ref, projb_ref,
             ln2w_ref, ln2b_ref, fcw_ref, fcs_ref, fcb_ref,
             fpw_ref, fps_ref, fpb_ref,
             k_ref, v_ref,
-            xout_ref, krow_ref, vrow_ref,
-            x_scr,
-            *, n_layer: int, n_head: int, d_head: int, eps: float):
+            *refs,
+            n_layer: int, n_head: int, d_head: int, eps: float,
+            with_head: bool, sampler: tuple | None):
+    if with_head and sampler is not None:
+        (lnfw_ref, lnfb_ref, lmlnw_ref, lmlnb_ref,
+         lmw_ref, lms_ref, lmb_ref, prev_ref, u_ref,
+         xout_ref, krow_ref, vrow_ref, logits_ref, tok_ref,
+         x_scr) = refs
+    elif with_head:
+        (lnfw_ref, lnfb_ref, lmlnw_ref, lmlnb_ref,
+         lmw_ref, lms_ref, lmb_ref,
+         xout_ref, krow_ref, vrow_ref, logits_ref, x_scr) = refs
+    else:
+        xout_ref, krow_ref, vrow_ref, x_scr = refs
     l = pl.program_id(0)
 
     @pl.when(l == 0)
@@ -137,11 +212,35 @@ def _kernel(x_ref, bias_ref,
     @pl.when(l == n_layer - 1)
     def _fin():
         xout_ref[:] = x
+        if with_head:
+            # lm head fused into the final grid step: the double-norm
+            # chain + the (D, Vp) int8 matvec. Outside the kernel this
+            # chain costs ~0.28 ms/step of small-fusion overhead on (1, D)
+            # vectors (r3 probe: double-LN 0.128 ms + int8 matvec 0.158);
+            # in here it is ~20 us of extra weight streaming. The lm
+            # weight uses a fixed BlockSpec, so the pipeline fetches it
+            # once per call, not per layer.
+            y = _layer_norm(x, lnfw_ref[0], lnfb_ref[0], eps)
+            y = _layer_norm(y, 1.0, 0.0, eps)
+            y = y * lmlnw_ref[0] + lmlnb_ref[0]
+            yb = y.astype(jnp.bfloat16)
+            vp = lmw_ref.shape[-1]
+            # chunk the dequantized bf16 weight tile (a full (D, 8320)
+            # bf16 intermediate would spike VMEM by ~17 MB)
+            step_n = min(vp, 13 * 128)
+            for c0 in range(0, vp, step_n):
+                c1 = min(c0 + step_n, vp)
+                wb = lmw_ref[:, c0:c1].astype(jnp.bfloat16)
+                acc = jnp.dot(yb, wb, preferred_element_type=jnp.float32)
+                logits_ref[:, c0:c1] = (
+                    acc * lms_ref[0, c0:c1] + lmb_ref[0, c0:c1])
+            if sampler is not None:
+                _sample(logits_ref, prev_ref, u_ref, tok_ref, sampler)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_head", "eps", "interpret", "vmem_mb"),
+    static_argnames=("n_head", "eps", "interpret", "vmem_mb", "sampler"),
 )
 def fused_decode_trunk(
     blocks: dict,
@@ -149,17 +248,32 @@ def fused_decode_trunk(
     cache_v: jax.Array,
     bias_row: jax.Array,
     x: jax.Array,
+    head: dict | None = None,
+    prev_u: tuple | None = None,
+    sampler: tuple | None = None,
     n_head: int = 16,
     eps: float = 1e-5,
     interpret: bool = False,
     vmem_mb: int = 100,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, ...]:
     """Run the full decode trunk. blocks: the int8 stacked layer tree
     (cast_matmul_weights(int8=True)["blocks"]); cache_k/v (L, B, C, H*Dh)
     bf16; bias_row (B, C) additive 0/NEG_INF f32; x (B, D) f32 embedded
     input. Returns (hidden (B, D) f32, k_rows (L, B, H*Dh), v_rows) with
     the rows in the cache dtype — the caller writes them into slot n with
-    one dynamic_update_slice (as decode_step does)."""
+    one dynamic_update_slice (as decode_step does).
+
+    head: optional lm-head pack {ln_f_w, ln_f_b, lm_ln_w, lm_ln_b
+    ((1, D) f32 rows), lm_wq ((D, Vp) int8), lm_sc, lm_b ((1, Vp) f32,
+    bias padded with -1e30 so padded columns never win sampling)}. When
+    given, the kernel also runs the double-norm head + lm matvec at the
+    final grid step and a fourth output (B, Vp) f32 logits is appended.
+
+    prev_u + sampler: with head, additionally run the full sampler in
+    the kernel. prev_u = ((1, 1) int32 previous token, (1, 1) f32
+    uniform draw); sampler = (temperature, top_k, top_p_drop,
+    repetition_penalty) static floats/int. A fifth output (1, 1) int32
+    sampled token is appended (B must be 1)."""
     l, bsz, c, hd = cache_k.shape
     d = x.shape[-1]
     f = blocks["fc_w"][0].shape[-1]
@@ -203,8 +317,37 @@ def fused_decode_trunk(
         cache_k, cache_v,
     ]
 
+    out_specs = [
+        fixed((bsz, d)),
+        per_layer(bsz, hd),
+        per_layer(bsz, hd),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, d), jnp.float32),
+        jax.ShapeDtypeStruct((l, bsz, hd), cache_k.dtype),
+        jax.ShapeDtypeStruct((l, bsz, hd), cache_v.dtype),
+    ]
+    if head is not None:
+        vp = head["lm_wq"].shape[-1]
+        in_specs += [fixed((1, d))] * 4 + [
+            fixed((d, vp)),              # lm weight: fetched ONCE per call
+            fixed((1, vp)), fixed((1, vp)),
+        ]
+        args += [head["ln_f_w"], head["ln_f_b"],
+                 head["lm_ln_w"], head["lm_ln_b"],
+                 head["lm_wq"], head["lm_sc"], head["lm_b"]]
+        if sampler is not None:
+            in_specs += [fixed((1, 1)), fixed((1, 1))]
+            args += [prev_u[0], prev_u[1]]
+        out_specs.append(fixed((bsz, vp)))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, vp), jnp.float32))
+        if sampler is not None:
+            out_specs.append(fixed((1, 1)))
+            out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
+
     kernel = functools.partial(
-        _kernel, n_layer=l, n_head=n_head, d_head=d_head, eps=eps)
+        _kernel, n_layer=l, n_head=n_head, d_head=d_head, eps=eps,
+        with_head=head is not None, sampler=sampler)
 
     params = {}
     if not interpret:
@@ -212,22 +355,13 @@ def fused_decode_trunk(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=vmem_mb * 2**20,
         )
-    xout, k_rows, v_rows = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(l,),
         in_specs=in_specs,
-        out_specs=[
-            fixed((bsz, d)),
-            per_layer(bsz, hd),
-            per_layer(bsz, hd),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((bsz, d), jnp.float32)],
-        out_shape=[
-            jax.ShapeDtypeStruct((bsz, d), jnp.float32),
-            jax.ShapeDtypeStruct((l, bsz, hd), cache_k.dtype),
-            jax.ShapeDtypeStruct((l, bsz, hd), cache_v.dtype),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
         **params,
     )(*args)
-    return xout, k_rows, v_rows

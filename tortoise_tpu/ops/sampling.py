@@ -188,13 +188,20 @@ def process_logits_topk(logits: jax.Array, prev_ids: jax.Array,
     return jax.nn.softmax(vals, axis=-1), ids
 
 
-def sample_from_topk(key: jax.Array, probs: jax.Array, ids: jax.Array,
-                     ) -> jax.Array:
-    """Inverse-CDF draw over the top-k candidates, mapped back to vocab
-    ids."""
+def sample_from_topk_u(u: jax.Array, probs: jax.Array, ids: jax.Array,
+                       ) -> jax.Array:
+    """Inverse-CDF draw over the top-k candidates against a pre-drawn
+    uniform u (B, 1), mapped back to vocab ids."""
     cum = jnp.cumsum(probs, axis=-1)
-    u = jax.random.uniform(key, (probs.shape[0], 1), dtype=probs.dtype)
     pos = jnp.minimum(jnp.sum(cum < u, axis=-1), probs.shape[-1] - 1)
     return jnp.take_along_axis(ids, pos[:, None], axis=-1)[:, 0].astype(
         jnp.int32
     )
+
+
+def sample_from_topk(key: jax.Array, probs: jax.Array, ids: jax.Array,
+                     ) -> jax.Array:
+    """Inverse-CDF draw over the top-k candidates, mapped back to vocab
+    ids."""
+    u = jax.random.uniform(key, (probs.shape[0], 1), dtype=probs.dtype)
+    return sample_from_topk_u(u, probs, ids)

@@ -64,6 +64,43 @@ def cast_matmul_weights(params, dtype, int8: bool = False):
 from tortoise_tpu.ops.basic import quantize_cols_host as _quantize_cols_host
 
 
+def _build_head_pack(params, lm_pair):
+    """Lane-padded lm-head tensors for the fused decode kernel
+    (ops/pallas/decode_trunk.py): the (D, V) int8 weight/scale padded to
+    a 128-multiple Vp with zero columns, the bias padded with -1e30 so
+    padded logits can never win top-k, and the norm params as (1, D)
+    rows. The unpadded lm_w/lm_b stay in the tree for the XLA head used
+    by prefill and the non-fused planes."""
+    wq, sc = lm_pair
+    d, v = wq.shape
+    vp = ((v + 127) // 128) * 128
+    host = isinstance(wq, np.ndarray)
+    xp = np if host else jnp
+
+    def padn(a, val=0.0):
+        return xp.pad(a, ((0, 0), (0, vp - v)), constant_values=val) \
+            if vp != v else a
+
+    def row(name):
+        a = params[name]
+        a = np.asarray(a, np.float32) if isinstance(a, np.ndarray) \
+            else jnp.asarray(a, jnp.float32)
+        return a.reshape(1, d)
+
+    b = params["lm_b"]
+    b = (np.asarray(b, np.float32) if isinstance(b, np.ndarray)
+         else jnp.asarray(b, jnp.float32)).reshape(1, v)
+    bxp = np if isinstance(b, np.ndarray) else jnp
+    return {
+        "ln_f_w": row("ln_f_w"), "ln_f_b": row("ln_f_b"),
+        "lm_ln_w": row("lm_ln_w"), "lm_ln_b": row("lm_ln_b"),
+        "lm_wq": padn(wq),
+        "lm_sc": padn(sc.reshape(1, v)),
+        "lm_b": bxp.pad(b, ((0, 0), (0, vp - v)), constant_values=-1e30)
+        if vp != v else b,
+    }
+
+
 def _cast_matmul_weights(params, dtype, int8: bool = False):
     from tortoise_tpu.pipeline.common import ensure_device
 
@@ -82,6 +119,7 @@ def _cast_matmul_weights(params, dtype, int8: bool = False):
         lm = params["lm_w"]
         out["lm_w"] = _quantize_cols_host(lm.T) \
             if isinstance(lm, np.ndarray) else quantize_cols(jnp.asarray(lm).T)
+        out["head_pack"] = _build_head_pack(params, out["lm_w"])
         return ensure_device(out)
     if dtype is None:
         return ensure_device(params)
@@ -209,13 +247,27 @@ def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
         step, all_stop, *_ = state
         return (step < max_steps) & jnp.logical_not(all_stop)
 
+    # trace-time plane choice: on the B=1 int8+bf16 production plane the
+    # decode trunk, lm head AND sampler run as one kernel dispatch
+    # (ops/pallas/decode_trunk.py); elsewhere decode_step + the XLA
+    # sampler chain. Same uniform stream either way (sample_from_topk
+    # draws u from the same key), so the token sequences agree up to f32
+    # rounding between the two logit paths.
+    fuse_sampling = (not qkv_f16
+                     and ar.can_fuse_sampling(params, cfg, compute_dtype, b))
+
     def body(state):
         step, _, tokens, lengths, finished, cache, key = state
         prev = tokens[:, step - 1]
-        logits, cache = ar.decode_step(params, cfg, cache, prev, step - 1,
-                                       compute_dtype, qkv_f16)
         key, k = jax.random.split(key)
-        tok = sample(logits, prev[:, None], k)
+        if fuse_sampling:
+            u = jax.random.uniform(k, (1, 1), jnp.float32)
+            tok, cache = ar.decode_sample_step(params, cfg, cache, prev,
+                                               step - 1, u, compute_dtype)
+        else:
+            logits, cache = ar.decode_step(params, cfg, cache, prev,
+                                           step - 1, compute_dtype, qkv_f16)
+            tok = sample(logits, prev[:, None], k)
         tokens = tokens.at[:, step].set(tok)
         lengths = jnp.where(finished, lengths, lengths + 1)
         finished = finished | (tok == stop)
