@@ -38,7 +38,14 @@ import numpy as np
 TARGET_RTF = 0.1
 
 
-def build_models(small, use_bf16):
+def build_models(small, use_bf16, int8=False):
+    """Returns (models, models_f32). With the int8 plane on and a cache
+    dir set, the quantized host trees are disk-cached (io/plane_cache):
+    a later process memory-maps int8 bytes straight into the device
+    upload — no f32 read (2.8x the bytes), no re-quantization (~75 s of
+    host work at production scale, measured). models_f32 keeps the float
+    source for the side-by-side bf16-weights path; it is None when the
+    plane cache made loading f32 unnecessary."""
     import jax
 
     from tortoise_tpu.pipeline.synthesize import TortoiseModels
@@ -48,8 +55,50 @@ def build_models(small, use_bf16):
     # seconds); BENCH_WEIGHTS_CACHE= (empty) disables
     cache_dir = os.environ.get("BENCH_WEIGHTS_CACHE",
                                "/tmp/tortoise_bench_weights")
-    models = TortoiseModels.random(seed=0, tiny=small,
-                                   cache_dir=cache_dir or None)
+    plane_dir = None
+    if cache_dir and int8:
+        plane_dir = os.path.join(
+            cache_dir, f"plane_int8_{'tiny' if small else 'full'}_0")
+    models_f32 = None
+    models = None
+    if plane_dir:
+        from tortoise_tpu.io import plane_cache
+
+        tree = plane_cache.load_plane(plane_dir)
+        if tree is not None:
+            models = TortoiseModels(
+                ar_params=tree["ar"], diffusion_params=tree["diffusion"],
+                vocoder_params=tree["vocoder"])
+            if small:
+                from tortoise_tpu.config import (
+                    tiny_ar_config, tiny_diffusion_config,
+                    tiny_vocoder_config)
+
+                models.ar_cfg = tiny_ar_config()
+                models.diffusion_cfg = tiny_diffusion_config()
+                models.vocoder_cfg = tiny_vocoder_config()
+    if models is None:
+        models_f32 = TortoiseModels.random(seed=0, tiny=small,
+                                           cache_dir=cache_dir or None)
+        models = models_f32
+        if plane_dir:
+            import dataclasses as dc
+
+            from tortoise_tpu.io import plane_cache
+            from tortoise_tpu.pipeline.ar_stage import quantize_ar_host
+            from tortoise_tpu.pipeline.diffusion_stage import (
+                quantize_diffusion_weights,
+            )
+
+            ar_q = quantize_ar_host(models_f32.ar_params)
+            diff_q = quantize_diffusion_weights(models_f32.diffusion_params)
+            plane_cache.save_plane(
+                {"ar": ar_q, "diffusion": diff_q,
+                 "vocoder": models_f32.vocoder_params}, plane_dir)
+            # run on the quantized trees (the pipeline's idempotent casts
+            # pass them through); keep models_f32 for the alt-weights path
+            models = dc.replace(models_f32, ar_params=ar_q,
+                                diffusion_params=diff_q)
     if small:
         models.ar_cfg = dataclasses.replace(models.ar_cfg,
                                             max_decode_steps=8,
@@ -73,7 +122,7 @@ def build_models(small, use_bf16):
         if os.environ.get(env):
             models.diffusion_cfg = dataclasses.replace(
                 models.diffusion_cfg, **{field: int(os.environ[env])})
-    return models
+    return models, models_f32
 
 
 def main() -> int:
@@ -100,14 +149,17 @@ def main() -> int:
     int8 = os.environ.get("BENCH_INT8", "1") == "1" and use_bf16
 
     t_build0 = time.monotonic()
-    models = build_models(small, use_bf16)
+    models, models_f32 = build_models(small, use_bf16, int8)
     build_s = time.monotonic() - t_build0
     if child:
-        # split the warm-start cost: host weight generation above; the
-        # device upload through the tunnel here (on the int8 plane the
-        # denoiser is quantized host-side first, shipping 1 byte/weight;
-        # the AR tree is always cast/quantized host-side inside the run)
+        # split the warm-start cost: host weight load above (mmap'd plane
+        # cache when present — no f32 read, no re-quantization); the
+        # device upload through the tunnel here, int8 bytes for both big
+        # trees. What's left for first_run_s is cached-compile loads +
+        # dispatch.
         import jax.numpy as jnp_
+
+        from tortoise_tpu.pipeline.ar_stage import cast_matmul_weights
 
         t_up = time.monotonic()
         models.to_device(include_ar=False, include_diffusion=not int8)
@@ -116,6 +168,9 @@ def main() -> int:
             from tortoise_tpu.pipeline.diffusion_stage import _prepare_params
 
             dtree = _prepare_params(models.diffusion_params, True)
+            atree = cast_matmul_weights(models.ar_params, compute_dtype,
+                                        int8=True)
+            np.asarray(jnp_.ravel(jax.tree.leaves(atree)[0])[:1])
         np.asarray(jnp_.ravel(jax.tree.leaves(dtree)[0])[:1])
         upload_s = time.monotonic() - t_up
     rng = np.random.default_rng(0)
@@ -146,7 +201,8 @@ def main() -> int:
         print(json.dumps({"first_run_s": round(compile_wall, 3),
                           "steady_run_s": round(steady, 3),
                           "weights_build_s": round(build_s, 3),
-                          "upload_s": round(upload_s, 3)}))
+                          "upload_s": round(upload_s, 3),
+                          "plane_cache_hit": models_f32 is None and int8}))
         return 0
 
     # the shared dev TPU slice shows +-50% run-to-run variance; report the
@@ -226,11 +282,38 @@ def main() -> int:
     # warmup on the shared dev slice.
     if not small and use_bf16 and os.environ.get("BENCH_ALT_PATH", "1") == "1":
         from tortoise_tpu.pipeline.common import clear_cast_cache
+        from tortoise_tpu.pipeline.synthesize import synthesize as _synth
 
         clear_cast_cache()
-        alt_runs = [run(1 + i, int8_weights=not int8) for i in range(2)]
+        # the alt plane needs the float tree; when the plane cache served
+        # the headline run, load it now (alt is a parent-only side path)
+        alt_models = models if models_f32 is None and not int8 else None
+        if alt_models is None:
+            if models_f32 is None:
+                os.environ["BENCH_WEIGHTS_CACHE"] = os.environ.get(
+                    "BENCH_WEIGHTS_CACHE", "/tmp/tortoise_bench_weights")
+                from tortoise_tpu.pipeline.synthesize import TortoiseModels
+
+                models_f32 = TortoiseModels.random(
+                    seed=0, tiny=small,
+                    cache_dir=os.environ["BENCH_WEIGHTS_CACHE"] or None)
+                models_f32.ar_cfg = models.ar_cfg
+                models_f32.diffusion_cfg = models.diffusion_cfg
+                models_f32.vocoder_cfg = models.vocoder_cfg
+            alt_models = models_f32
+
+        def run_alt(seed, stage_sync=False):
+            t0 = time.monotonic()
+            result = _synth(alt_models, tokens=tokens, voice=voice,
+                            seed=seed, batch_size=1, sampler="jax",
+                            compute_dtype=compute_dtype,
+                            int8_weights=not int8,
+                            stage_sync=stage_sync, materialize=False)
+            return result, time.monotonic() - t0
+
+        alt_runs = [run_alt(1 + i) for i in range(2)]
         alt, alt_wall = min(alt_runs, key=lambda rw: rw[1])
-        alt_sync, _ = run(1, stage_sync=True, int8_weights=not int8)
+        alt_sync, _ = run_alt(1, stage_sync=True)
         alt = dataclasses.replace(alt, timings=alt_sync.timings)
         alt_audio = len(alt.audio) / alt.sample_rate
         stats = roofline_stats(models, alt, use_bf16, not int8)
@@ -253,6 +336,14 @@ def main() -> int:
             probe = json.loads(out.stdout.strip().splitlines()[-1])
             line["second_process_first_run_s"] = probe["first_run_s"]
             line["second_process_steady_run_s"] = probe.get("steady_run_s")
+            # the restart tax decomposed: host weight load (plane cache),
+            # tunnel upload (~20 MB/s here; PCIe on a real TPU VM), and
+            # first_run_s = cached-compile loads + dispatch
+            line["second_process_weights_load_s"] = probe.get(
+                "weights_build_s")
+            line["second_process_upload_s"] = probe.get("upload_s")
+            line["second_process_plane_cache_hit"] = probe.get(
+                "plane_cache_hit")
         except Exception as e:  # never fail the bench on the probe
             line["second_process_first_run_s"] = f"probe failed: {e}"
 

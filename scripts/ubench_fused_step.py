@@ -9,7 +9,7 @@ all variants in ONE process and reports per-variant minima:
                 penalty/top-k/nucleus chain
   samp-fused  : the same loop with the whole sampler inside the kernel
 
-Usage: python scripts/ubench_fused_step.py [steps]
+Usage: python scripts/ubench_fused_step.py [steps] [batch]
 """
 
 import sys
@@ -34,6 +34,7 @@ def _force(out):
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     from tortoise_tpu.config import ARConfig
     from tortoise_tpu.io.checkpoint import random_ar_params
     from tortoise_tpu.models import ar
@@ -48,9 +49,11 @@ def main():
     params_xla = {k: v for k, v in params.items() if k != "head_pack"}
 
     rng = np.random.default_rng(0)
-    text_ids = jnp.asarray(rng.integers(0, 255, (1, 32)), jnp.int32)
-    text_valid = jnp.ones((1, 32), bool)
-    voice = jnp.asarray(rng.normal(0, .5, (1024,)), jnp.float32)
+    text_ids = jnp.asarray(rng.integers(0, 255, (batch, 32)), jnp.int32)
+    text_valid = jnp.ones((batch, 32), bool)
+    voice = jnp.asarray(
+        np.broadcast_to(rng.normal(0, .5, (1024,)), (batch, 1024)),
+        jnp.float32)
     logits0, cache = jax.jit(
         lambda p, ti, tv, v: ar.prefill(p, cfg, ti, tv, v, jnp.bfloat16)
     )(params, text_ids, text_valid, voice)
@@ -63,18 +66,18 @@ def main():
                                            jnp.bfloat16)
             return jnp.argmax(logits, -1).astype(jnp.int32), cache
 
-        tok0 = jnp.full((1,), 5, jnp.int32)
+        tok0 = jnp.full((batch,), 5, jnp.int32)
         return jax.lax.fori_loop(0, steps, body, (tok0, cache))[0]
 
     @jax.jit
     def sample_loop(params, cache, key):
-        fused = ar.can_fuse_sampling(params, cfg, jnp.bfloat16, 1)
+        fused = ar.can_fuse_sampling(params, cfg, jnp.bfloat16, batch)
 
         def body(i, carry):
             tok, cache, key = carry
             key, k = jax.random.split(key)
             if fused:
-                u = jax.random.uniform(k, (1, 1), jnp.float32)
+                u = jax.random.uniform(k, (batch, 1), jnp.float32)
                 tok, cache = ar.decode_sample_step(params, cfg, cache, tok,
                                                    i, u, jnp.bfloat16)
             else:
@@ -84,7 +87,7 @@ def main():
                 tok = S.sample_from_topk(k, probs, ids)
             return tok, cache, key
 
-        tok0 = jnp.full((1,), 5, jnp.int32)
+        tok0 = jnp.full((batch,), 5, jnp.int32)
         return jax.lax.fori_loop(0, steps, body,
                                  (tok0, cache, key))[0]
 

@@ -87,16 +87,70 @@ def _xla_sampler_args(cfg):
     return t, min(k, cfg.n_mel_vocab), p, r
 
 
+def _tile_cache(cache, b):
+    return ar.KVCache(jnp.concatenate([cache.k] * b, axis=1),
+                      jnp.concatenate([cache.v] * b, axis=1),
+                      jnp.concatenate([cache.valid] * b, axis=0),
+                      cache.length)
+
+
+def test_fused_batched_matches_xla_scan(setup):
+    """B=4 rides the fused plane (block-diagonal head layout, per-row
+    unroll): logits for every row must match the XLA scan path run at
+    the same batch."""
+    cfg, params, cache = setup
+    cfg_off = dataclasses.replace(cfg, fused_decode=False)
+    c1 = c2 = _tile_cache(cache, 4)
+    for i, tok in enumerate([(4, 1, 7, 2), (3, 9, 0, 5)]):
+        toks = jnp.asarray(tok, jnp.int32)
+        l1, c1 = ar.decode_step(params, cfg_off, c1, toks, jnp.int32(i),
+                                jnp.bfloat16)
+        l2, c2 = ar.decode_step(params, cfg, c2, toks, jnp.int32(i),
+                                jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(c2.k, np.float32), np.asarray(c1.k, np.float32),
+            atol=1e-4)
+
+
+def test_fused_batched_sampler(setup):
+    """decode_sample_step at B=4: per-row tokens match the XLA sampler
+    chain fed the same per-row uniforms."""
+    import jax
+
+    from tortoise_tpu.ops import sampling as S
+
+    cfg, params, cache = setup
+    c1 = c2 = _tile_cache(cache, 4)
+    key = jax.random.PRNGKey(11)
+    prev = jnp.asarray([4, 1, 9, 2], jnp.int32)
+    for i in range(3):
+        key, k = jax.random.split(key)
+        u = jax.random.uniform(k, (4, 1), jnp.float32)
+        logits, c1 = ar.decode_step(params, cfg, c1, prev, jnp.int32(i),
+                                    jnp.bfloat16)
+        probs, ids = S.process_logits_topk(
+            logits, prev[:, None], *_xla_sampler_args(cfg))
+        want = S.sample_from_topk_u(u, probs, ids)
+        got, c2 = ar.decode_sample_step(params, cfg, c2, prev, jnp.int32(i),
+                                        u, jnp.bfloat16)
+        assert [int(t) for t in got] == [int(t) for t in want], f"step {i}"
+        prev = got
+
+
 def test_fused_gates_correctly(setup):
     """The fused path must not engage off its plane: f32 weights, f32
-    compute, or batch > 1 all take the XLA scan (observable: they run
-    without int8 tuples / with B=2 and still agree with themselves)."""
+    compute, or batch > FUSED_MAX_BATCH all take the XLA scan; on-plane
+    batched rows must be row-independent (identical rows stay
+    identical)."""
     cfg, params, cache = setup
-    # B=2: gate requires B == 1 -> must still work via the scan path
-    k2 = jnp.concatenate([cache.k, cache.k], axis=1)
-    v2 = jnp.concatenate([cache.v, cache.v], axis=1)
-    valid2 = jnp.concatenate([cache.valid, cache.valid], axis=0)
-    c2 = ar.KVCache(k2, v2, valid2, cache.length)
+    assert not ar.can_fuse_sampling(params, cfg, jnp.float32, 1)
+    assert not ar.can_fuse_sampling(params, cfg, jnp.bfloat16,
+                                    ar.FUSED_MAX_BATCH + 1)
+    pf32 = {k: v for k, v in params.items() if k != "head_pack"}
+    assert not ar.can_fuse_sampling(pf32, cfg, jnp.bfloat16, 1)
+    c2 = _tile_cache(cache, 2)
     l2, _ = ar.decode_step(params, cfg, c2, jnp.asarray([4, 4], jnp.int32),
                            jnp.int32(0), jnp.bfloat16)
     l1, _ = ar.decode_step(params, cfg, cache, jnp.asarray([4], jnp.int32),

@@ -218,12 +218,13 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
     if (cfg.fused_decode and not qkv_f16
             and compute_dtype == jnp.bfloat16
             and isinstance(params["blocks"].get("attn_w"), tuple)
-            and tokens.shape[0] == 1):
-        # B=1 only for now: the kernel unrolls per-(batch, head) score
-        # dots, and Mosaic compile time grows with the unroll (B=1 is
-        # ~8 min cold through the remote compiler, amortized by the
-        # persistent cache). Measured 1.08 vs 1.59 ms/step against the
-        # XLA scan at production shapes (int8, cache 640).
+            and tokens.shape[0] <= FUSED_MAX_BATCH):
+        # B <= 8: per-row attention unrolls in the kernel (block-diagonal
+        # head layout, 2 dots/row) and the per-layer KV slice must fit
+        # VMEM double-buffered (8 rows x 640 slots x 1024 lanes bf16 =
+        # 10.5 MB per K/V block; ~77 MB total at B=8). Measured 1.08 vs
+        # 1.59 ms/step against the XLA scan at production shapes (B=1,
+        # int8, cache 640); B rows ride the same int8 weight stream.
         return _decode_step_fused(params, cfg, cache, tokens, step,
                                   compute_dtype)
     b = tokens.shape[0]
@@ -341,11 +342,16 @@ DEFAULT_SAMPLER = (0.8, 50, 0.2, 2.0)  # temp, top_k, p_drop, penalty
 # (the reference's sampling defaults, main.cpp:4791-4793)
 
 
+FUSED_MAX_BATCH = 8  # per-layer KV slice must fit VMEM double-buffered
+
+
 def can_fuse_sampling(params, cfg: ARConfig, compute_dtype,
                       batch: int) -> bool:
     """True when decode_sample_step's fused decode+sample kernel plane is
-    available: B=1, bf16 compute, int8 weights with the padded head pack."""
-    return (cfg.fused_decode and batch == 1
+    available: B<=8, bf16 compute, int8 weights with the padded head
+    pack. B rows share the int8 weight stream — batched decode costs
+    little more per step than B=1."""
+    return (cfg.fused_decode and batch <= FUSED_MAX_BATCH
             and compute_dtype == jnp.bfloat16
             and isinstance(params["blocks"].get("attn_w"), tuple)
             and params.get("head_pack") is not None)
@@ -356,15 +362,16 @@ def decode_sample_step(params, cfg: ARConfig, cache: KVCache,
                        compute_dtype=None,
                        sampler: tuple = DEFAULT_SAMPLER,
                        ) -> Tuple[jax.Array, KVCache]:
-    """decode_step + the full sampler in ONE kernel dispatch (B=1 int8
+    """decode_step + the full sampler in ONE kernel dispatch (B<=8 int8
     plane): the trunk, lm head, repetition penalty, top-k, nucleus rule,
-    and the inverse-CDF draw against the pre-drawn uniform `u` ((1, 1)
-    f32) all run inside ops/pallas/decode_trunk.py. Outside the kernel
-    the head + sampler chains cost ~0.34 ms/step of small-fusion
+    and the per-row inverse-CDF draw against the pre-drawn uniforms `u`
+    ((B, 1) f32) all run inside ops/pallas/decode_trunk.py. Outside the
+    kernel the head + sampler chains cost ~0.34 ms/step of small-fusion
     overhead (r3 probe) against a 0.61 ms kernel. Returns
     (sampled tokens (B,), updated cache)."""
     from tortoise_tpu.ops.pallas.decode_trunk import fused_decode_trunk
 
+    b = tokens.shape[0]
     x = jnp.take(params["mel_emb"], tokens, axis=0) \
         + jnp.take(params["mel_pos"], step + 2, axis=0)  # (B, D)
     n = cache.length
@@ -372,7 +379,7 @@ def decode_sample_step(params, cfg: ARConfig, cache: KVCache,
     _, k_rows, v_rows, _, tok = fused_decode_trunk(
         params["blocks"], cache.k, cache.v, bias_row,
         x.astype(jnp.float32), head=params["head_pack"],
-        prev_u=(tokens.reshape(1, 1), u.reshape(1, 1)), sampler=sampler,
+        prev_u=(tokens.reshape(b, 1), u.reshape(b, 1)), sampler=sampler,
         n_head=cfg.n_head, eps=cfg.ln_eps,
         interpret=jax.default_backend() != "tpu")
     k = jax.lax.dynamic_update_slice(

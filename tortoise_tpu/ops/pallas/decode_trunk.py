@@ -64,30 +64,31 @@ F32_LOWEST = -3.4028235e38
 
 def _sample(logits_ref, prev_ref, u_ref, tok_ref, sampler):
     """In-kernel sampler: repetition penalty -> temperature -> top-k
-    (iterative argmax; ~50 VPU passes over the (1, Vp) row) -> the
+    (iterative argmax; ~50 VPU passes over the (B, Vp) rows) -> the
     reference's suffix-sum nucleus rule -> inverse-CDF draw against a
-    pre-drawn uniform. Mirrors ops.sampling.process_logits_topk +
+    pre-drawn uniform per row. Mirrors ops.sampling.process_logits_topk +
     sample_from_topk exactly (modulo float-identical logit ties); outside
     the kernel that chain costs ~0.19 ms/step of small-fusion overhead.
-    The cumulative sums run as (1, K)x(K, K) triangular matmuls — a
-    lane-axis cumsum lowers poorly in Mosaic."""
+    The cumulative sums run as (B, K)x(K, K) triangular matmuls — a
+    lane-axis cumsum lowers poorly in Mosaic. Every op is row-parallel:
+    B rows sample together in the same passes."""
     temperature, top_k, top_p_drop, penalty = sampler
-    x = logits_ref[:]                                   # (1, Vp) f32
-    vp = x.shape[-1]
+    x = logits_ref[:]                                   # (B, Vp) f32
+    bsz, vp = x.shape
     kk = 128                                            # padded k domain
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, vp), 1)
-    prev = prev_ref[:]                                  # (1, 1) int32
+    prev = prev_ref[:]                                  # (B, 1) int32
     pen = jnp.where(x < 0, x * penalty, x / penalty)
     x = jnp.where(lanes == prev, pen, x)
     x = x * (1.0 / temperature)
 
-    # everything stays (1, 1)-shaped (keepdims reductions, broadcasting
+    # everything stays (B, 1)-shaped (keepdims reductions, broadcasting
     # compares): Mosaic has no scalar VMEM load/store
     kl = jax.lax.broadcasted_iota(jnp.int32, (1, kk), 1)
 
     def pick(i, carry):
         x, vals, ids = carry
-        m = jnp.max(x, axis=-1, keepdims=True)          # (1, 1)
+        m = jnp.max(x, axis=-1, keepdims=True)          # (B, 1)
         idx = jnp.min(jnp.where(x == m, lanes, vp),
                       axis=-1, keepdims=True)           # first on ties
         vals = jnp.where(kl == i, m, vals)
@@ -95,8 +96,8 @@ def _sample(logits_ref, prev_ref, u_ref, tok_ref, sampler):
         x = jnp.where(lanes == idx, F32_LOWEST, x)
         return x, vals, ids
 
-    vals0 = jnp.full((1, kk), F32_LOWEST, jnp.float32)
-    ids0 = jnp.zeros((1, kk), jnp.int32)
+    vals0 = jnp.full((bsz, kk), F32_LOWEST, jnp.float32)
+    ids0 = jnp.zeros((bsz, kk), jnp.int32)
     _, vals, ids = jax.lax.fori_loop(0, top_k, pick, (x, vals0, ids0))
 
     active = kl < top_k
@@ -168,36 +169,40 @@ def _kernel(x_ref, bias_ref,
     k_l = k_ref[0]                                   # (B, C, H*Dh) bf16
     v_l = v_ref[0]
     bias = bias_ref[:]                               # (B, C) f32 additive
-    ctx_cols = []
-    for g in range(h):
-        qh = q[:, g * dh:(g + 1) * dh] * scale       # (B, Dh) f32
-        # scores over the cached slots for this head
-        s_parts = []
-        for bi in range(b):
-            kh = k_l[bi, :, g * dh:(g + 1) * dh]     # (C, Dh)
-            s_parts.append(
-                jnp.dot(qh[bi:bi + 1].astype(jnp.bfloat16),
-                        kh.T.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32))
-        s = jnp.concatenate(s_parts, axis=0) + bias  # (B, C)
-        self_s = jnp.sum(
-            qh * k_new[:, g * dh:(g + 1) * dh].astype(jnp.float32),
-            axis=-1, keepdims=True)                  # (B, 1)
+    # Per-head attention via a BLOCK-DIAGONAL head layout: row h of the
+    # (H, H*Dh) matrix holds q's head-h slice in its own columns, zeros
+    # elsewhere, so ONE (H, HD)x(HD, C) dot yields the per-head score
+    # rows (the off-head terms multiply exact zeros — bit-identical to
+    # per-head dots) and ONE (H, C)x(C, HD) dot yields per-head context
+    # rows, from which the head-h column slice is selected by the same
+    # mask. 2 MXU dots per batch row vs the 2*H tiny (1, Dh) dots of the
+    # naive form — K-depth goes 64 -> 1024 and the op count stops scaling
+    # with H. Rows loop in python: B is small (<= 8) and Mosaic has no
+    # batched dot.
+    hmask = (jax.lax.broadcasted_iota(jnp.int32, (h, h * dh), 1) // dh
+             == jax.lax.broadcasted_iota(jnp.int32, (h, h * dh), 0)
+             ).astype(jnp.float32)                   # (H, HD) block-diag
+    rows = []
+    for bi in range(b):
+        qb = (q[bi:bi + 1] * scale) * hmask          # (H, HD) f32
+        qbb = qb.astype(jnp.bfloat16)
+        s = jnp.dot(qbb, k_l[bi].T.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)      # (H, C)
+        s = s + bias[bi:bi + 1]
+        # fresh-token score in f32 elementwise (off-head terms are exact
+        # zeros), matching the XLA path's f32 self term
+        self_s = jnp.sum(qb * k_new[bi:bi + 1], axis=-1,
+                         keepdims=True)              # (H, 1)
         m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), self_s)
-        e = jnp.exp(s - m)
-        e_self = jnp.exp(self_s - m)
+        e = jnp.exp(s - m)                           # (H, C)
+        e_self = jnp.exp(self_s - m)                 # (H, 1)
         denom = jnp.sum(e, axis=-1, keepdims=True) + e_self
-        c_parts = []
-        for bi in range(b):
-            vh = v_l[bi, :, g * dh:(g + 1) * dh]     # (C, Dh)
-            c_parts.append(
-                jnp.dot(e[bi:bi + 1].astype(jnp.bfloat16),
-                        vh.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32))
-        ctx = (jnp.concatenate(c_parts, axis=0)
-               + e_self * v_new[:, g * dh:(g + 1) * dh]) / denom
-        ctx_cols.append(ctx)                         # (B, Dh) f32
-    merged = jnp.concatenate(ctx_cols, axis=-1)      # (B, D)
+        ctxf = jnp.dot(e.astype(jnp.bfloat16),
+                       v_l[bi].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)   # (H, HD)
+        ctxf = (ctxf + e_self * v_new[bi:bi + 1]) / denom
+        rows.append(jnp.sum(ctxf * hmask, axis=0, keepdims=True))
+    merged = jnp.concatenate(rows, axis=0) if b > 1 else rows[0]
     attn = _matvec_q8(merged, projw_ref, projs_ref[l], projb_ref[l])
     x = x + attn
 
@@ -270,10 +275,10 @@ def fused_decode_trunk(
     final grid step and a fourth output (B, Vp) f32 logits is appended.
 
     prev_u + sampler: with head, additionally run the full sampler in
-    the kernel. prev_u = ((1, 1) int32 previous token, (1, 1) f32
-    uniform draw); sampler = (temperature, top_k, top_p_drop,
-    repetition_penalty) static floats/int. A fifth output (1, 1) int32
-    sampled token is appended (B must be 1)."""
+    the kernel. prev_u = ((B, 1) int32 previous tokens, (B, 1) f32
+    per-row uniform draws); sampler = (temperature, top_k, top_p_drop,
+    repetition_penalty) static floats/int. A fifth output (B, 1) int32
+    sampled tokens is appended."""
     l, bsz, c, hd = cache_k.shape
     d = x.shape[-1]
     f = blocks["fc_w"][0].shape[-1]
@@ -337,13 +342,13 @@ def fused_decode_trunk(
                  head["lm_ln_w"], head["lm_ln_b"],
                  head["lm_wq"], head["lm_sc"], head["lm_b"]]
         if sampler is not None:
-            in_specs += [fixed((1, 1)), fixed((1, 1))]
+            in_specs += [fixed((bsz, 1)), fixed((bsz, 1))]
             args += [prev_u[0], prev_u[1]]
         out_specs.append(fixed((bsz, vp)))
         out_shape.append(jax.ShapeDtypeStruct((bsz, vp), jnp.float32))
         if sampler is not None:
-            out_specs.append(fixed((1, 1)))
-            out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
+            out_specs.append(fixed((bsz, 1)))
+            out_shape.append(jax.ShapeDtypeStruct((bsz, 1), jnp.int32))
 
     kernel = functools.partial(
         _kernel, n_layer=l, n_head=n_head, d_head=d_head, eps=eps,

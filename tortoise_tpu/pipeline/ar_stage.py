@@ -101,26 +101,48 @@ def _build_head_pack(params, lm_pair):
     }
 
 
+def quantize_ar_host(params) -> dict:
+    """int8-quantize the AR tree's matmul weights (host-side numpy; same
+    math as the jnp plane) and attach the fused-kernel head pack.
+    Idempotent: already-quantized leaves (pairs, e.g. a tree loaded from
+    io.plane_cache) pass through normalized to tuples — so a quantized
+    tree saved by one process feeds the same pipeline entry points in
+    the next with zero re-quantization."""
+    from tortoise_tpu.ops.basic import quantize_cols
+
+    def q(w):
+        if isinstance(w, (tuple, list)):
+            return tuple(w)
+        if isinstance(w, np.ndarray):
+            return _quantize_cols_host(w)
+        return quantize_cols(jnp.asarray(w))
+
+    blocks = dict(params["blocks"])
+    for k in _MATMUL_WEIGHTS:
+        blocks[k] = q(blocks[k])
+    out = dict(params, blocks=blocks)
+    lm = params["lm_w"]
+    if isinstance(lm, (tuple, list)):
+        out["lm_w"] = tuple(lm)
+    elif isinstance(lm, np.ndarray):
+        out["lm_w"] = _quantize_cols_host(lm.T)
+    else:
+        out["lm_w"] = quantize_cols(jnp.asarray(lm).T)
+    hp = params.get("head_pack")
+    out["head_pack"] = dict(hp) if hp is not None \
+        else _build_head_pack(params, out["lm_w"])
+    return out
+
+
 def _cast_matmul_weights(params, dtype, int8: bool = False):
     from tortoise_tpu.pipeline.common import ensure_device
 
     if int8:
-        from tortoise_tpu.ops.basic import quantize_cols
-
-        def q(w):
-            if isinstance(w, np.ndarray):
-                return _quantize_cols_host(w)
-            return quantize_cols(jnp.asarray(w))
-
-        blocks = dict(params["blocks"])
-        for k in _MATMUL_WEIGHTS:
-            blocks[k] = q(blocks[k])
-        out = dict(params, blocks=blocks)
-        lm = params["lm_w"]
-        out["lm_w"] = _quantize_cols_host(lm.T) \
-            if isinstance(lm, np.ndarray) else quantize_cols(jnp.asarray(lm).T)
-        out["head_pack"] = _build_head_pack(params, out["lm_w"])
-        return ensure_device(out)
+        return ensure_device(quantize_ar_host(params))
+    if isinstance(params["blocks"].get("attn_w"), (tuple, list)):
+        raise ValueError(
+            "AR tree is int8-quantized (plane-cache load?); the bf16/f32 "
+            "planes need the original float tree")
     if dtype is None:
         return ensure_device(params)
     blocks = dict(params["blocks"])
@@ -247,12 +269,12 @@ def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
         step, all_stop, *_ = state
         return (step < max_steps) & jnp.logical_not(all_stop)
 
-    # trace-time plane choice: on the B=1 int8+bf16 production plane the
+    # trace-time plane choice: on the B<=8 int8+bf16 production plane the
     # decode trunk, lm head AND sampler run as one kernel dispatch
     # (ops/pallas/decode_trunk.py); elsewhere decode_step + the XLA
     # sampler chain. Same uniform stream either way (sample_from_topk
-    # draws u from the same key), so the token sequences agree up to f32
-    # rounding between the two logit paths.
+    # draws the same-(B, 1) u from the same key), so the token sequences
+    # agree up to f32 rounding between the two logit paths.
     fuse_sampling = (not qkv_f16
                      and ar.can_fuse_sampling(params, cfg, compute_dtype, b))
 
@@ -261,7 +283,7 @@ def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
         prev = tokens[:, step - 1]
         key, k = jax.random.split(key)
         if fuse_sampling:
-            u = jax.random.uniform(k, (1, 1), jnp.float32)
+            u = jax.random.uniform(k, (b, 1), jnp.float32)
             tok, cache = ar.decode_sample_step(params, cfg, cache, prev,
                                                step - 1, u, compute_dtype)
         else:

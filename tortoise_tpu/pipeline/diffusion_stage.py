@@ -65,9 +65,13 @@ def quantize_diffusion_weights(params):
         return quantize_cols(wm)
 
     def q_lin(w):  # (..., out, in) -> ((..., in, out) int8, scale)
+        if isinstance(w, (tuple, list)):  # pre-quantized (plane cache)
+            return tuple(w)
         return q(w.swapaxes(-1, -2))
 
     def q_conv(w):  # (..., out, in, k) -> ((..., k*in, out) int8, scale)
+        if isinstance(w, (tuple, list)):  # pre-quantized (plane cache)
+            return tuple(w)
         k, c_in, c_out = w.shape[-1], w.shape[-2], w.shape[-3]
         wm = w.swapaxes(-1, -3).reshape(*w.shape[:-3], k * c_in, c_out)
         return q(wm)
