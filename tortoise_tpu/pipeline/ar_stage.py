@@ -24,6 +24,7 @@ Sequence post-processing mirrors the reference exactly:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import List, Optional, Sequence, Tuple
 
@@ -369,6 +370,13 @@ def autoregressive_batch(
     voices = np.asarray(voices, np.float32)
     if voices.ndim == 1:
         voices = np.broadcast_to(voices, (b, voices.shape[0]))
+    if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+        # a pallas_call cannot be auto-partitioned by pjit: under a real
+        # multi-device mesh the fused decode kernel would force its
+        # dp-sharded operands to gather/replicate. Take the XLA scan
+        # plane there (its einsums partition cleanly); the fused kernel
+        # owns the single-device case.
+        cfg = dataclasses.replace(cfg, fused_decode=False)
     params = cast_matmul_weights(params, compute_dtype, int8_weights)
 
     from tortoise_tpu.parallel import place_batch
