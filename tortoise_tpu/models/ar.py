@@ -218,7 +218,7 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
     if (cfg.fused_decode and not qkv_f16
             and compute_dtype == jnp.bfloat16
             and isinstance(params["blocks"].get("attn_w"), tuple)
-            and tokens.shape[0] <= FUSED_MAX_BATCH):
+            and _fits_fused(cfg, tokens.shape[0])):
         # B <= 8: per-row attention unrolls in the kernel (block-diagonal
         # head layout, 2 dots/row) and the per-layer KV slice must fit
         # VMEM double-buffered (8 rows x 640 slots x 1024 lanes bf16 =
@@ -343,6 +343,13 @@ DEFAULT_SAMPLER = (0.8, 50, 0.2, 2.0)  # temp, top_k, p_drop, penalty
 
 
 FUSED_MAX_BATCH = 8  # per-layer KV slice must fit VMEM double-buffered
+FUSED_MAX_BC = 8 * 640  # B*C bound: KV blocks (2 tensors, double-buffered,
+# B*C*H*Dh bf16) + ~24 MB weight blocks + the lm-head pack must stay
+# inside the kernel's 100 MB VMEM budget; 8*640 measures ~77 MB
+
+
+def _fits_fused(cfg: ARConfig, batch: int) -> bool:
+    return batch <= FUSED_MAX_BATCH and batch * cfg.cache_len <= FUSED_MAX_BC
 
 
 def can_fuse_sampling(params, cfg: ARConfig, compute_dtype,
@@ -351,7 +358,7 @@ def can_fuse_sampling(params, cfg: ARConfig, compute_dtype,
     available: B<=8, bf16 compute, int8 weights with the padded head
     pack. B rows share the int8 weight stream — batched decode costs
     little more per step than B=1."""
-    return (cfg.fused_decode and batch <= FUSED_MAX_BATCH
+    return (cfg.fused_decode and _fits_fused(cfg, batch)
             and compute_dtype == jnp.bfloat16
             and isinstance(params["blocks"].get("attn_w"), tuple)
             and params.get("head_pack") is not None)
