@@ -41,7 +41,9 @@ def main():
     from tortoise_tpu.ops import sampling as S
     from tortoise_tpu.pipeline.ar_stage import cast_matmul_weights
 
-    cfg = ARConfig()
+    from tortoise_tpu.pipeline.ar_stage import size_cache
+
+    cfg = size_cache(ARConfig(), 32)  # cache 640, as the driver sizes it
     params = cast_matmul_weights(random_ar_params(cfg, seed=0, fast=True),
                                  jnp.bfloat16, int8=True)
     # a twin tree WITHOUT the head pack: decode_step/_generate_jit fall
