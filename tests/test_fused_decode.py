@@ -148,10 +148,9 @@ def test_fused_gates_correctly(setup):
     assert not ar.can_fuse_sampling(params, cfg, jnp.float32, 1)
     assert not ar.can_fuse_sampling(params, cfg, jnp.bfloat16,
                                     ar.FUSED_MAX_BATCH + 1)
-    # VMEM bound: B*cache_len over FUSED_MAX_BC must take the XLA plane
-    cfg_big = dataclasses.replace(cfg, cache_len=ar.FUSED_MAX_BC)
-    assert not ar.can_fuse_sampling(params, cfg_big, jnp.bfloat16, 2)
     assert ar.can_fuse_sampling(params, cfg, jnp.bfloat16, 1)
+    assert ar.can_fuse_sampling(params, cfg, jnp.bfloat16,
+                                ar.FUSED_MAX_BATCH)
     pf32 = {k: v for k, v in params.items() if k != "head_pack"}
     assert not ar.can_fuse_sampling(pf32, cfg, jnp.bfloat16, 1)
     c2 = _tile_cache(cache, 2)

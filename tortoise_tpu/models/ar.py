@@ -219,12 +219,10 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
             and compute_dtype == jnp.bfloat16
             and isinstance(params["blocks"].get("attn_w"), tuple)
             and _fits_fused(cfg, tokens.shape[0])):
-        # B <= 8: per-row attention unrolls in the kernel (block-diagonal
-        # head layout, 2 dots/row) and the per-layer KV slice must fit
-        # VMEM double-buffered (8 rows x 640 slots x 1024 lanes bf16 =
-        # 10.5 MB per K/V block; ~77 MB total at B=8). Measured 1.08 vs
-        # 1.59 ms/step against the XLA scan at production shapes (B=1,
-        # int8, cache 640); B rows ride the same int8 weight stream.
+        # grid (L, B): rows iterate fastest and share each layer's int8
+        # weight stream; per-row attention uses a block-diagonal head
+        # layout (2 dots/row). Measured 1.08 vs 1.59 ms/step against the
+        # XLA scan at production shapes (B=1, int8, cache 640).
         return _decode_step_fused(params, cfg, cache, tokens, step,
                                   compute_dtype)
     b = tokens.shape[0]
@@ -342,20 +340,20 @@ DEFAULT_SAMPLER = (0.8, 50, 0.2, 2.0)  # temp, top_k, p_drop, penalty
 # (the reference's sampling defaults, main.cpp:4791-4793)
 
 
-FUSED_MAX_BATCH = 8  # per-layer KV slice must fit VMEM double-buffered
-FUSED_MAX_BC = 8 * 640  # B*C bound: KV blocks (2 tensors, double-buffered,
-# B*C*H*Dh bf16) + ~24 MB weight blocks + the lm-head pack must stay
-# inside the kernel's 100 MB VMEM budget; 8*640 measures ~77 MB
+FUSED_MAX_BATCH = 16  # grid is (L, B) with single-row KV/output blocks,
+# so VMEM and compile time are B-independent; the cap only bounds the
+# B*L program count (and keeps very large serving batches on the XLA
+# plane, which shards under meshes)
 
 
 def _fits_fused(cfg: ARConfig, batch: int) -> bool:
-    return batch <= FUSED_MAX_BATCH and batch * cfg.cache_len <= FUSED_MAX_BC
+    return batch <= FUSED_MAX_BATCH
 
 
 def can_fuse_sampling(params, cfg: ARConfig, compute_dtype,
                       batch: int) -> bool:
     """True when decode_sample_step's fused decode+sample kernel plane is
-    available: B<=8, bf16 compute, int8 weights with the padded head
+    available: B<=16, bf16 compute, int8 weights with the padded head
     pack. B rows share the int8 weight stream — batched decode costs
     little more per step than B=1."""
     return (cfg.fused_decode and _fits_fused(cfg, batch)

@@ -144,14 +144,22 @@ def _kernel(x_ref, bias_ref,
          xout_ref, krow_ref, vrow_ref, logits_ref, x_scr) = refs
     else:
         xout_ref, krow_ref, vrow_ref, x_scr = refs
+    # grid (L, B), rows fastest: every weight block's index map depends
+    # only on l, so the pipeline fetches each layer's weights ONCE and
+    # all B rows ride the same stream; per-(l, bi) blocks (the KV slice,
+    # the fresh-row outputs, the logits) stay single-row, so VMEM need
+    # and Mosaic compile time are independent of B (the earlier per-row
+    # python unroll compiled O(B) bodies and streamed (B, C, HD) KV
+    # blocks).
     l = pl.program_id(0)
+    bi = pl.program_id(1)
 
     @pl.when(l == 0)
     def _init():
-        x_scr[:] = x_ref[:].astype(jnp.float32)
+        x_scr[bi] = x_ref[0].astype(jnp.float32)
 
-    x = x_scr[:]                                     # (B, D) f32
-    b, d = x.shape
+    x = x_scr[bi][None]                              # (1, D) f32
+    d = x.shape[-1]
     h, dh = n_head, d_head
     scale = 1.0 / (d_head ** 0.5)
 
@@ -161,70 +169,63 @@ def _kernel(x_ref, bias_ref,
     # (8, 128) tiling, which a (1, D) slice would break — and are indexed
     # by the grid step here (a sublane-dim dynamic index, which is cheap)
     y = _layer_norm(x, ln1w_ref[l], ln1b_ref[l], eps)
-    qkv = _matvec_q8(y, attnw_ref, attns_ref[l], attnb_ref[l])  # (B, 3D)
+    qkv = _matvec_q8(y, attnw_ref, attns_ref[l], attnb_ref[l])  # (1, 3D)
     q, k_new, v_new = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
-    krow_ref[0] = k_new.astype(krow_ref.dtype)
-    vrow_ref[0] = v_new.astype(vrow_ref.dtype)
+    krow_ref[0, 0] = k_new[0].astype(krow_ref.dtype)
+    vrow_ref[0, 0] = v_new[0].astype(vrow_ref.dtype)
 
-    k_l = k_ref[0]                                   # (B, C, H*Dh) bf16
-    v_l = v_ref[0]
-    bias = bias_ref[:]                               # (B, C) f32 additive
+    k_l = k_ref[0, 0]                                # (C, H*Dh) bf16
+    v_l = v_ref[0, 0]
+    bias = bias_ref[:]                               # (1, C) f32 additive
     # Per-head attention via a BLOCK-DIAGONAL head layout: row h of the
     # (H, H*Dh) matrix holds q's head-h slice in its own columns, zeros
     # elsewhere, so ONE (H, HD)x(HD, C) dot yields the per-head score
     # rows (the off-head terms multiply exact zeros — bit-identical to
     # per-head dots) and ONE (H, C)x(C, HD) dot yields per-head context
     # rows, from which the head-h column slice is selected by the same
-    # mask. 2 MXU dots per batch row vs the 2*H tiny (1, Dh) dots of the
-    # naive form — K-depth goes 64 -> 1024 and the op count stops scaling
-    # with H. Rows loop in python: B is small (<= 8) and Mosaic has no
-    # batched dot.
+    # mask. 2 MXU dots vs the 2*H tiny (1, Dh) dots of the naive form —
+    # K-depth goes 64 -> 1024 and the op count stops scaling with H.
     hmask = (jax.lax.broadcasted_iota(jnp.int32, (h, h * dh), 1) // dh
              == jax.lax.broadcasted_iota(jnp.int32, (h, h * dh), 0)
              ).astype(jnp.float32)                   # (H, HD) block-diag
-    rows = []
-    for bi in range(b):
-        qb = (q[bi:bi + 1] * scale) * hmask          # (H, HD) f32
-        qbb = qb.astype(jnp.bfloat16)
-        s = jnp.dot(qbb, k_l[bi].T.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)      # (H, C)
-        s = s + bias[bi:bi + 1]
-        # fresh-token score in f32 elementwise (off-head terms are exact
-        # zeros), matching the XLA path's f32 self term
-        self_s = jnp.sum(qb * k_new[bi:bi + 1], axis=-1,
-                         keepdims=True)              # (H, 1)
-        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), self_s)
-        e = jnp.exp(s - m)                           # (H, C)
-        e_self = jnp.exp(self_s - m)                 # (H, 1)
-        denom = jnp.sum(e, axis=-1, keepdims=True) + e_self
-        ctxf = jnp.dot(e.astype(jnp.bfloat16),
-                       v_l[bi].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)   # (H, HD)
-        ctxf = (ctxf + e_self * v_new[bi:bi + 1]) / denom
-        rows.append(jnp.sum(ctxf * hmask, axis=0, keepdims=True))
-    merged = jnp.concatenate(rows, axis=0) if b > 1 else rows[0]
+    qb = (q * scale) * hmask                         # (H, HD) f32
+    qbb = qb.astype(jnp.bfloat16)
+    s = jnp.dot(qbb, k_l.T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)          # (H, C)
+    s = s + bias
+    # fresh-token score in f32 elementwise (off-head terms are exact
+    # zeros), matching the XLA path's f32 self term
+    self_s = jnp.sum(qb * k_new, axis=-1, keepdims=True)     # (H, 1)
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), self_s)
+    e = jnp.exp(s - m)                               # (H, C)
+    e_self = jnp.exp(self_s - m)                     # (H, 1)
+    denom = jnp.sum(e, axis=-1, keepdims=True) + e_self
+    ctxf = jnp.dot(e.astype(jnp.bfloat16), v_l.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)       # (H, HD)
+    ctxf = (ctxf + e_self * v_new) / denom
+    merged = jnp.sum(ctxf * hmask, axis=0, keepdims=True)    # (1, HD)
     attn = _matvec_q8(merged, projw_ref, projs_ref[l], projb_ref[l])
     x = x + attn
 
     # ---- MLP ----
     y = _layer_norm(x, ln2w_ref[l], ln2b_ref[l], eps)
-    hdn = _matvec_q8(y, fcw_ref, fcs_ref[l], fcb_ref[l])   # (B, F)
+    hdn = _matvec_q8(y, fcw_ref, fcs_ref[l], fcb_ref[l])   # (1, F)
     hdn = jax.nn.gelu(hdn, approximate=True)
     x = x + _matvec_q8(hdn, fpw_ref, fps_ref[l], fpb_ref[l])
 
-    x_scr[:] = x
+    x_scr[bi] = x[0]
 
     @pl.when(l == n_layer - 1)
     def _fin():
-        xout_ref[:] = x
+        xout_ref[0] = x[0]
         if with_head:
-            # lm head fused into the final grid step: the double-norm
+            # lm head fused into the final grid steps: the double-norm
             # chain + the (D, Vp) int8 matvec. Outside the kernel this
             # chain costs ~0.28 ms/step of small-fusion overhead on (1, D)
             # vectors (r3 probe: double-LN 0.128 ms + int8 matvec 0.158);
             # in here it is ~20 us of extra weight streaming. The lm
             # weight uses a fixed BlockSpec, so the pipeline fetches it
-            # once per call, not per layer.
+            # once per call, not per layer or row.
             y = _layer_norm(x, lnfw_ref[0], lnfb_ref[0], eps)
             y = _layer_norm(y, 1.0, 0.0, eps)
             y = y * lmlnw_ref[0] + lmlnb_ref[0]
@@ -285,27 +286,44 @@ def fused_decode_trunk(
     d_head = d // n_head
 
     def fixed(shape):
-        return pl.BlockSpec(shape, lambda li: tuple(0 for _ in shape))
+        return pl.BlockSpec(shape, lambda li, bi: tuple(0 for _ in shape))
 
     def per_layer(*shape):
         nd = len(shape)
-        return pl.BlockSpec((1,) + shape,
-                            lambda li: (li,) + tuple(0 for _ in range(nd)))
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda li, bi: (li,) + tuple(0 for _ in range(nd)))
+
+    def per_row(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda li, bi: (bi,) + tuple(0 for _ in range(nd)))
+
+    def per_lb(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1, 1) + shape,
+            lambda li, bi: (li, bi) + tuple(0 for _ in range(nd)))
 
     # big weights: one layer per block, streamed/double-buffered by the
-    # pipeline. Small vectors (LN params, scales, biases): whole (L, ...)
-    # arrays resident in VMEM (~2 MB total), indexed by grid step.
+    # pipeline (index maps depend only on l — with rows iterating fastest
+    # each layer's weights are fetched once for all B rows). Small
+    # vectors (LN params, scales, biases): whole (L, ...) arrays resident
+    # in VMEM (~2 MB total), indexed by grid step. Per-(l, row) blocks
+    # (KV slice, fresh rows) are single-row, so VMEM and compile time do
+    # not grow with B.
     in_specs = [
-        fixed((bsz, d)),                 # x
-        fixed((bsz, c)),                 # bias
+        per_row(d),                      # x
+        per_row(c),                      # bias
         fixed((l, d)), fixed((l, d)),    # ln1 w/b
         per_layer(d, 3 * d), fixed((l, 1, 3 * d)), fixed((l, 3 * d)),
         per_layer(d, d), fixed((l, 1, d)), fixed((l, d)),
         fixed((l, d)), fixed((l, d)),    # ln2 w/b
         per_layer(d, f), fixed((l, 1, f)), fixed((l, f)),
         per_layer(f, d), fixed((l, 1, d)), fixed((l, d)),
-        per_layer(bsz, c, hd),           # k cache slice
-        per_layer(bsz, c, hd),           # v cache slice
+        per_lb(c, hd),                   # k cache slice
+        per_lb(c, hd),                   # v cache slice
     ]
     aw, asc = blocks["attn_w"]
     pw, psc = blocks["proj_w"]
@@ -323,9 +341,9 @@ def fused_decode_trunk(
     ]
 
     out_specs = [
-        fixed((bsz, d)),
-        per_layer(bsz, hd),
-        per_layer(bsz, hd),
+        per_row(d),
+        per_lb(hd),
+        per_lb(hd),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((bsz, d), jnp.float32),
@@ -342,12 +360,12 @@ def fused_decode_trunk(
                  head["lm_ln_w"], head["lm_ln_b"],
                  head["lm_wq"], head["lm_sc"], head["lm_b"]]
         if sampler is not None:
-            in_specs += [fixed((bsz, 1)), fixed((bsz, 1))]
+            in_specs += [per_row(1), per_row(1)]
             args += [prev_u[0], prev_u[1]]
-        out_specs.append(fixed((bsz, vp)))
+        out_specs.append(per_row(vp))
         out_shape.append(jax.ShapeDtypeStruct((bsz, vp), jnp.float32))
         if sampler is not None:
-            out_specs.append(fixed((bsz, 1)))
+            out_specs.append(per_row(1))
             out_shape.append(jax.ShapeDtypeStruct((bsz, 1), jnp.int32))
 
     kernel = functools.partial(
@@ -357,12 +375,12 @@ def fused_decode_trunk(
     params = {}
     if not interpret:
         params["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=vmem_mb * 2**20,
         )
     return pl.pallas_call(
         kernel,
-        grid=(l,),
+        grid=(l, bsz),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((bsz, d), jnp.float32)],
