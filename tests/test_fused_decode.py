@@ -139,6 +139,28 @@ def test_fused_batched_sampler(setup):
         prev = got
 
 
+def test_fused_at_max_batch(setup):
+    """One step at B=FUSED_MAX_BATCH (the grid's largest row count):
+    per-row logits and the KV slab write must match the XLA scan. Guards
+    the (L, B) grid layout — a row-indexing slip in the per-(l, row)
+    BlockSpecs would corrupt exactly the rows the smaller-B tests never
+    touch."""
+    cfg, params, cache = setup
+    b = ar.FUSED_MAX_BATCH
+    cfg_off = dataclasses.replace(cfg, fused_decode=False)
+    c1 = c2 = _tile_cache(cache, b)
+    toks = jnp.asarray(np.arange(b) % cfg.n_mel_vocab, jnp.int32)
+    l1, c1 = ar.decode_step(params, cfg_off, c1, toks, jnp.int32(0),
+                            jnp.bfloat16)
+    l2, c2 = ar.decode_step(params, cfg, c2, toks, jnp.int32(0),
+                            jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(c2.k, np.float32), np.asarray(c1.k, np.float32),
+        atol=1e-4)
+
+
 def test_fused_gates_correctly(setup):
     """The fused path must not engage off its plane: f32 weights, f32
     compute, or batch > FUSED_MAX_BATCH all take the XLA scan; on-plane
