@@ -378,8 +378,18 @@ def roofline_stats(models, result, use_bf16: bool,
 
     c = size_cache(acfg, pick_bucket(len(result.tokens))).cache_len
     cache_bytes = acfg.n_layer * c * d * 2 * (2 if use_bf16 else 4)
-    n_steps = max(len(result.sequences[0]), 1)
-    ar_ms = result.timings["autoregressive_s"] * 1e3 / n_steps
+    # the stage-synced pass decomposes the AR wall (ar_stage
+    # substage_timings): the roofline denominator is the DECODE LOOP
+    # wall — prefill and the latent graph are MXU-bound batch passes,
+    # not weight streaming, so averaging them in understated the decode
+    # kernel's roofline share (49% reported vs 91% measured in r3).
+    # Falls back to the whole-stage average when the split is absent.
+    if "ar_decode_loop_s" in result.timings:
+        n_steps = max(int(result.timings["ar_decode_steps"]), 1)
+        ar_ms = result.timings["ar_decode_loop_s"] * 1e3 / n_steps
+    else:
+        n_steps = max(len(result.sequences[0]), 1)
+        ar_ms = result.timings["autoregressive_s"] * 1e3 / n_steps
     ar_floor_ms = (ar_bytes + cache_bytes) / HBM_GBPS * 1e3
 
     if result.mel is not None:

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -38,6 +39,12 @@ from tortoise_tpu.models import ar
 from tortoise_tpu.ops import sampling as S
 
 _MATMUL_WEIGHTS = ("attn_w", "proj_w", "fc_w", "fc_proj_w")
+
+
+def _barrier(x) -> None:
+    """Force completion (block_until_ready can return early over the
+    remote-TPU tunnel; a 1-element device->host read is reliable)."""
+    np.asarray(jnp.ravel(x)[:1])
 
 
 def cast_matmul_weights(params, dtype, int8: bool = False):
@@ -341,6 +348,7 @@ def autoregressive_batch(
     mesh=None,
     int8_weights: bool = False,
     return_device_latents: bool = False,
+    substage_timings: Optional[dict] = None,
 ) -> Tuple:
     """Batched serving path: different token sequences per row (list of id
     lists) with per-row voices (B, d) or one shared (d,) latent. Rows are
@@ -382,13 +390,19 @@ def autoregressive_batch(
     from tortoise_tpu.parallel import place_batch
     from tortoise_tpu.pipeline.common import mesh_context
 
+    st = substage_timings
     ctx = mesh_context(mesh)
     with ctx:
         text_sh = place_batch(text_ids, mesh)
         valid_sh = place_batch(text_valid, mesh)
         voice_sh = place_batch(voices, mesh)
+        t_sub = time.monotonic()
         logits, cache = _prefill_jit(params, cfg, text_sh, valid_sh,
                                      voice_sh, compute_dtype, qkv_f16)
+        if st is not None:
+            _barrier(logits)
+            st["ar_prefill_s"] = time.monotonic() - t_sub
+            t_sub = time.monotonic()
         first_ids = np.full((b, max(lens) + 2), 1, np.int32)
         first_ids[:, -1] = cfg.start_mel_token
 
@@ -397,12 +411,21 @@ def autoregressive_batch(
             params, cfg, logits, place_batch(first_ids, mesh), cache, key,
             cfg.max_decode_steps, compute_dtype, qkv_f16,
         )
-        sequences = _sequences_from_token_matrix(np.asarray(toks),
+        toks = np.asarray(toks)
+        if st is not None:
+            st["ar_decode_loop_s"] = time.monotonic() - t_sub
+            st["ar_decode_steps"] = int(n_steps)
+        sequences = _sequences_from_token_matrix(toks,
                                                  np.asarray(lengths), cfg)
         padded = [apply_padding(s, cfg) for s in sequences]
+        if st is not None:
+            t_sub = time.monotonic()
         mel_ids = place_batch(np.asarray(padded, np.int32), mesh)
         latents = _latents_jit(params, cfg, text_sh, valid_sh, mel_ids,
                                voice_sh, compute_dtype, qkv_f16)
+        if st is not None:
+            _barrier(latents)
+            st["ar_latent_s"] = time.monotonic() - t_sub
     if return_device_latents:
         return latents, trim_keep_lengths(padded, cfg), padded
     trimmed = trim_latents(np.asarray(latents), padded, cfg)
@@ -422,6 +445,7 @@ def autoregressive(
     qkv_f16: bool = False,
     int8_weights: bool = False,
     return_device_latents: bool = False,
+    substage_timings: Optional[dict] = None,
 ) -> Tuple:
     """Run stage 1. Returns (trimmed_latents, padded_sequences), the exact
     analogue of the reference's return pair (main.cpp:5365-5366) — or,
@@ -431,6 +455,11 @@ def autoregressive(
     sampler="jax": on-device loop, seeded by `seed`.
     sampler="reference": host loop driven by `rng` (a ReferenceRng) with the
     mt19937 stream semantics.
+
+    Pass a dict as `substage_timings` to decompose the stage wall into
+    ar_prefill_s / ar_decode_loop_s (+ ar_decode_steps) / ar_latent_s.
+    Each boundary inserts a device sync, serializing the stage — bench
+    diagnostics only, off the production path.
     """
     tokens = list(map(int, tokens))
     t = len(tokens)
@@ -443,9 +472,15 @@ def autoregressive(
 
     voice = jnp.asarray(voice, jnp.float32)
     params = cast_matmul_weights(params, compute_dtype, int8_weights)
+    st = substage_timings
+    t_sub = time.monotonic()
     logits, cache = _prefill_jit(params, cfg, jnp.asarray(text_ids),
                                  jnp.asarray(text_valid), voice,
                                  compute_dtype, qkv_f16)
+    if st is not None:
+        _barrier(logits)
+        st["ar_prefill_s"] = time.monotonic() - t_sub
+        t_sub = time.monotonic()
 
     # first-step penalty ids: the prefill filler vector per sequence
     # ([1]*(T+1) + [8192], main.cpp:5100-5106)
@@ -459,6 +494,9 @@ def autoregressive(
             cfg.max_decode_steps, compute_dtype, qkv_f16,
         )
         toks = np.asarray(toks)
+        if st is not None:
+            st["ar_decode_loop_s"] = time.monotonic() - t_sub
+            st["ar_decode_steps"] = int(n_steps)
         sequences = _sequences_from_token_matrix(toks, np.asarray(lengths),
                                                  cfg)
     elif sampler == "reference":
@@ -491,10 +529,15 @@ def autoregressive(
 
     padded = [apply_padding(s, cfg) for s in sequences]
 
+    if st is not None:
+        t_sub = time.monotonic()
     mel_ids = jnp.asarray(np.asarray(padded, np.int32))
     latents = _latents_jit(params, cfg, jnp.asarray(text_ids),
                            jnp.asarray(text_valid), mel_ids, voice,
                            compute_dtype, qkv_f16)
+    if st is not None:
+        _barrier(latents)
+        st["ar_latent_s"] = time.monotonic() - t_sub
     if return_device_latents:
         return latents, trim_keep_lengths(padded, cfg), padded
     trimmed = trim_latents(np.asarray(latents), padded, cfg)

@@ -229,6 +229,7 @@ def synthesize_batch(
             models.ar_params, tokens_list, voices, models.ar_cfg,
             seed=seed, compute_dtype=compute_dtype, mesh=mesh,
             int8_weights=int8_weights, return_device_latents=True,
+            substage_timings=timings if stage_sync else None,
         )
         if stage_sync:
             _sync(lat_dev)
@@ -341,6 +342,7 @@ def synthesize(
             models.ar_params, tokens, voice, batch_size, models.ar_cfg,
             sampler=sampler, seed=seed, compute_dtype=compute_dtype,
             int8_weights=int8_weights, return_device_latents=True,
+            substage_timings=timings if stage_sync else None,
         )
         if stage_sync:
             _sync(lat_dev)
