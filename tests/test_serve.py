@@ -1,0 +1,123 @@
+"""Dynamic-batching serving layer (tortoise_tpu/serve.py): request
+grouping, B-bucket padding, error isolation, and the stdlib HTTP
+front-end, all on tiny CPU models."""
+
+import dataclasses
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from tortoise_tpu import serve
+from tortoise_tpu.pipeline.synthesize import TortoiseModels
+
+
+@pytest.fixture(scope="module")
+def models():
+    m = TortoiseModels.random(seed=0, tiny=True)
+    m.ar_cfg = dataclasses.replace(m.ar_cfg, max_decode_steps=6,
+                                   pad_mel_length=8)
+    m.diffusion_cfg = dataclasses.replace(m.diffusion_cfg,
+                                          n_sample_timesteps=4)
+    return m
+
+
+@pytest.fixture(scope="module")
+def voice(models):
+    return np.random.default_rng(3).normal(
+        0, 0.5, (models.ar_cfg.d_model,)).astype(np.float32)
+
+
+def _tokens(rng, n):
+    return [255] + rng.integers(3, 50, size=n).tolist() + [0]
+
+
+def test_bucketing():
+    m = TortoiseModels.random(seed=0, tiny=True)
+    s = serve.SynthesisServer(m, max_batch=16)
+    assert [s._bucket(n) for n in (1, 2, 3, 5, 8, 9, 16, 99)] == \
+        [1, 2, 4, 8, 8, 16, 16, 16]
+    with pytest.raises(ValueError):
+        serve.SynthesisServer(m, max_batch=32)  # above largest bucket
+
+
+def test_batched_requests(models, voice):
+    """Concurrent submits land in one padded batch; every future resolves
+    with audio; dummy pad rows never surface."""
+    rng = np.random.default_rng(0)
+    # a generous admission window so all three submits join one batch
+    server = serve.SynthesisServer(models, max_batch=4, max_wait_ms=3000,
+                                   default_voice=voice)
+    with server:
+        futs = [server.submit(tokens=_tokens(rng, 4 + i), seed=7)
+                for i in range(3)]
+        results = [f.result(timeout=600) for f in futs]
+    assert all(len(r.audio) > 0 for r in results)
+    assert all(r.sample_rate == models.vocoder_cfg.sample_rate
+               for r in results)
+    st = server.stats()
+    assert st["rows"] == 3
+    assert st["batches"] == 1
+    assert st["padded_rows"] == 1  # 3 rows -> bucket 4
+    assert st["failed_batches"] == 0
+
+
+def test_error_isolation(models, voice):
+    """A failing batch resolves its futures with the exception and the
+    worker keeps serving later requests."""
+    rng = np.random.default_rng(1)
+    server = serve.SynthesisServer(models, max_batch=2, max_wait_ms=10,
+                                   default_voice=voice)
+    with server:
+        bad = server.submit(tokens=_tokens(rng, 4),
+                            voice=np.zeros((3,), np.float32))  # wrong dim
+        with pytest.raises(Exception):
+            bad.result(timeout=600)
+        good = server.submit(tokens=_tokens(rng, 4))
+        assert len(good.result(timeout=600).audio) > 0
+    assert server.stats()["failed_batches"] == 1
+
+
+def test_submit_requires_start(models, voice):
+    server = serve.SynthesisServer(models, default_voice=voice)
+    with pytest.raises(RuntimeError):
+        server.submit(tokens=[255, 5, 0])
+
+
+def test_http_front_end(models, voice):
+    rng = np.random.default_rng(2)
+    server = serve.SynthesisServer(models, max_batch=2, max_wait_ms=10,
+                                   default_voice=voice)
+    server.start()
+    httpd = serve.make_http_server(server, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/synthesize",
+                     json.dumps({"tokens": _tokens(rng, 4), "seed": 1}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "audio/wav"
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+
+        conn.request("GET", "/healthz")
+        h = conn.getresponse()
+        health = json.loads(h.read())
+        assert h.status == 200 and health["ok"]
+        assert health["stats"]["rows"] >= 1
+
+        conn.request("POST", "/synthesize", json.dumps({}),
+                     {"Content-Type": "application/json"})
+        bad = conn.getresponse()
+        assert bad.status == 400
+        assert "error" in json.loads(bad.read())
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        server.stop()

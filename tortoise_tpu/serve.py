@@ -1,0 +1,367 @@
+"""Dynamic-batching synthesis server: the production serving front-end.
+
+The reference is a one-shot CLI (main.cpp:6528-6583) — one utterance per
+process. On TPU the economics invert: weights stay resident, programs stay
+compiled, and the batched pipeline (pipeline/synthesize.synthesize_batch)
+amortizes the 80-step diffusion loop and the AR weight stream over many
+utterances (aggregate RTF/chip improves through B=16, BASELINE.md). This
+module turns that batched plane into a server:
+
+- `SynthesisServer` owns a request queue and a single worker thread. The
+  worker takes the first waiting request, then holds the batch open for
+  up to `max_wait_ms` to admit more, up to `max_batch` rows.
+- Batch sizes are rounded UP to a fixed bucket (1, 2, 4, 8, 16 by
+  default) by repeating the last row, and text lengths ride the existing
+  ar_stage text buckets — so XLA sees one static (text-bucket, B-bucket)
+  shape pair per program, never a fresh compile mid-serving. Dummy rows
+  are dropped before the futures resolve. Bucketed-B padding wastes some
+  rows (tracked in `stats()["padded_rows"]`); an unpadded batch would
+  recompile every program for every new B, which on the remote-TPU
+  compile path costs minutes (utils/runtime.enable_compilation_cache
+  notes), not the ~6% aggregate-RTF gap between adjacent buckets.
+- Each request carries its own voice latent; per-row voices are first
+  class in the batched pipeline.
+
+Determinism: the batch is seeded by the FIRST request's seed. Row b of a
+batch draws row b of the batch's jax.random streams, so a request's exact
+output depends on the batch it lands in (composition and order) — the
+same trade every dynamically-batched sampler makes. For bit-reproducible
+output, synthesize alone (batch of 1) with a fixed seed.
+
+The HTTP front-end (`python -m tortoise_tpu.serve`) is a thin stdlib
+wrapper: POST /synthesize {"message": ..., "voice": ..., "seed": ...}
+returns audio/wav; GET /healthz returns queue/batch stats. It exists so
+the server is drivable end-to-end without extra dependencies; production
+deployments would put their own RPC layer in front of SynthesisServer.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from tortoise_tpu.io.voice import load_voice_latent
+from tortoise_tpu.io.wav import wav_bytes
+from tortoise_tpu.models.ar import FUSED_MAX_BATCH
+from tortoise_tpu.pipeline.synthesize import (
+    SynthesisResult,
+    TortoiseModels,
+    synthesize_batch,
+)
+
+DEFAULT_B_BUCKETS = (1, 2, 4, 8, FUSED_MAX_BATCH)
+
+
+@dataclass
+class _Request:
+    tokens: List[int]
+    voice: np.ndarray
+    seed: int
+    future: "Future[SynthesisResult]" = field(default_factory=Future)
+
+
+class SynthesisServer:
+    """Queue + worker around the batched synthesis pipeline.
+
+    Usage:
+        server = SynthesisServer(models, compute_dtype=jnp.bfloat16,
+                                 int8_weights=True)
+        server.start()
+        fut = server.submit(message="hello", voice="/path/mol.bin")
+        result = fut.result()          # SynthesisResult
+        server.stop()
+    """
+
+    def __init__(
+        self,
+        models: TortoiseModels,
+        compute_dtype=None,
+        int8_weights: bool = False,
+        max_batch: int = 8,
+        max_wait_ms: float = 50.0,
+        batch_buckets: Sequence[int] = DEFAULT_B_BUCKETS,
+        mesh=None,
+        default_voice=None,
+    ):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.models = models
+        self.compute_dtype = compute_dtype
+        self.int8_weights = int8_weights
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self.batch_buckets = tuple(sorted(set(batch_buckets)))
+        if self.batch_buckets[-1] < max_batch:
+            raise ValueError("largest batch bucket is below max_batch")
+        self.mesh = mesh
+        self.default_voice = (
+            self._load_voice(default_voice) if default_voice is not None
+            else None)
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._stats = {"batches": 0, "rows": 0, "padded_rows": 0,
+                       "failed_batches": 0}
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "SynthesisServer":
+        if self._worker is not None:
+            raise RuntimeError("server already started")
+        self._stop.clear()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="tortoise-serve-worker")
+        self._worker.start()
+        return self
+
+    def stop(self, drain: bool = True) -> None:
+        """Stop the worker. With drain=True (default) queued requests are
+        served first; otherwise they fail with RuntimeError."""
+        if self._worker is None:
+            return
+        if drain:
+            self._queue.join()
+        self._stop.set()
+        self._worker.join()
+        self._worker = None
+        while True:  # fail anything left (drain=False path)
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.future.set_exception(RuntimeError("server stopped"))
+            self._queue.task_done()
+
+    def __enter__(self) -> "SynthesisServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- client API --------------------------------------------------------
+
+    def submit(self, message: Optional[str] = None,
+               tokens: Optional[Sequence[int]] = None,
+               voice=None, seed: int = 0) -> "Future[SynthesisResult]":
+        """Enqueue one utterance; returns a Future resolving to its
+        SynthesisResult. `voice` is a (d,) latent, a path to a voice .bin,
+        or None for the server's default_voice."""
+        if self._worker is None:
+            raise RuntimeError("server not started")
+        if tokens is None:
+            if message is None:
+                raise ValueError("pass message or tokens")
+            if self.models.tokenizer is None:
+                raise ValueError("models have no tokenizer; pass tokens")
+            tokens = self.models.tokenizer.encode_pipeline(message)
+        voice_arr = (self._load_voice(voice) if voice is not None
+                     else self.default_voice)
+        if voice_arr is None:
+            raise ValueError("no voice given and no default_voice set")
+        req = _Request(list(map(int, tokens)), voice_arr, int(seed))
+        self._queue.put(req)
+        return req.future
+
+    def stats(self) -> dict:
+        with self._lock:
+            s = dict(self._stats)
+        s["queued"] = self._queue.qsize()
+        return s
+
+    # -- worker ------------------------------------------------------------
+
+    def _load_voice(self, voice) -> np.ndarray:
+        if isinstance(voice, str):
+            return load_voice_latent(voice, self.models.ar_cfg.d_model)
+        return np.asarray(voice, np.float32)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return self.batch_buckets[-1]
+
+    def _collect(self) -> List[_Request]:
+        """Block for the first request, then hold the batch open for up to
+        max_wait_ms (or until max_batch rows)."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_ms / 1e3
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            n = len(batch)
+            bucket = self._bucket(n)
+            rows = batch + [batch[-1]] * (bucket - n)  # repeat-pad rows
+            try:
+                results = synthesize_batch(
+                    self.models,
+                    tokens_list=[r.tokens for r in rows],
+                    voices=[r.voice for r in rows],
+                    seed=batch[0].seed,
+                    compute_dtype=self.compute_dtype,
+                    int8_weights=self.int8_weights,
+                    mesh=self.mesh,
+                    materialize=False,
+                )
+            except Exception as e:  # resolve, don't kill the worker
+                for r in batch:
+                    r.future.set_exception(e)
+                with self._lock:
+                    self._stats["failed_batches"] += 1
+            else:
+                for r, res in zip(batch, results):  # dummy rows dropped
+                    r.future.set_result(res)
+                with self._lock:
+                    self._stats["batches"] += 1
+                    self._stats["rows"] += n
+                    self._stats["padded_rows"] += bucket - n
+            finally:
+                for _ in range(n):
+                    self._queue.task_done()
+
+
+# -- HTTP front-end (stdlib only) -----------------------------------------
+
+
+def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
+                     port: int = 8757):
+    """ThreadingHTTPServer wrapping a started SynthesisServer.
+
+    POST /synthesize  {"message": str | "tokens": [int], "voice": name,
+                       "seed": int}            -> 200 audio/wav
+    GET  /healthz                              -> 200 application/json
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._json(404, {"error": "not found"})
+            self._json(200, {"ok": True, "stats": server.stats()})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                return self._json(404, {"error": "not found"})
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                fut = server.submit(
+                    message=req.get("message"), tokens=req.get("tokens"),
+                    voice=req.get("voice"), seed=int(req.get("seed", 0)))
+                result = fut.result()
+            except Exception as e:
+                return self._json(400, {"error": str(e)})
+            body = wav_bytes(result.audio, result.sample_rate)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="tortoise_tpu dynamic-batching synthesis server")
+    p.add_argument("--models", default="models",
+                   help="directory with the GGML model files + tokenizer")
+    p.add_argument("--voice", default="mol",
+                   help="default voice (name in models dir, or path)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8757)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=50.0)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--f32", dest="bf16", action="store_false")
+    p.add_argument("--int8-weights", action="store_true", default=True)
+    p.add_argument("--no-int8-weights", dest="int8_weights",
+                   action="store_false")
+    p.add_argument("--cache-dir", default=None)
+    p.add_argument("--random-weights", action="store_true",
+                   help="synthetic weights (the GGML files are not "
+                        "redistributable); random default voice")
+    p.add_argument("--tiny", action="store_true",
+                   help="with --random-weights: tiny test-size models")
+    args = p.parse_args(argv)
+
+    import os
+
+    from tortoise_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.random_weights:
+        models = TortoiseModels.random(0, tiny=args.tiny)
+        voice = np.random.default_rng(0).normal(
+            0, 0.5, (models.ar_cfg.d_model,)).astype(np.float32)
+    else:
+        models = TortoiseModels.from_ggml_dir(args.models, args.cache_dir)
+        voice = args.voice
+        if not os.path.exists(voice):
+            voice = os.path.join(args.models, args.voice + ".bin")
+    compute_dtype = None
+    if args.bf16:
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
+    server = SynthesisServer(
+        models, compute_dtype=compute_dtype,
+        int8_weights=args.int8_weights and args.bf16,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        default_voice=voice)
+    server.start()
+    httpd = make_http_server(server, args.host, args.port)
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+        server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
