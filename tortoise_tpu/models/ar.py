@@ -367,7 +367,7 @@ def decode_sample_step(params, cfg: ARConfig, cache: KVCache,
                        compute_dtype=None,
                        sampler: tuple = DEFAULT_SAMPLER,
                        ) -> Tuple[jax.Array, KVCache]:
-    """decode_step + the full sampler in ONE kernel dispatch (B<=8 int8
+    """decode_step + the full sampler in ONE kernel dispatch (B<=16 int8
     plane): the trunk, lm head, repetition penalty, top-k, nucleus rule,
     and the per-row inverse-CDF draw against the pre-drawn uniforms `u`
     ((B, 1) f32) all run inside ops/pallas/decode_trunk.py. Outside the

@@ -277,7 +277,7 @@ def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
         step, all_stop, *_ = state
         return (step < max_steps) & jnp.logical_not(all_stop)
 
-    # trace-time plane choice: on the B<=8 int8+bf16 production plane the
+    # trace-time plane choice: on the B<=16 int8+bf16 production plane the
     # decode trunk, lm head AND sampler run as one kernel dispatch
     # (ops/pallas/decode_trunk.py); elsewhere decode_step + the XLA
     # sampler chain. Same uniform stream either way (sample_from_topk
