@@ -149,16 +149,24 @@ def test_fused_at_max_batch(setup):
     b = ar.FUSED_MAX_BATCH
     cfg_off = dataclasses.replace(cfg, fused_decode=False)
     c1 = c2 = _tile_cache(cache, b)
-    toks = jnp.asarray(np.arange(b) % cfg.n_mel_vocab, jnp.int32)
-    l1, c1 = ar.decode_step(params, cfg_off, c1, toks, jnp.int32(0),
-                            jnp.bfloat16)
-    l2, c2 = ar.decode_step(params, cfg, c2, toks, jnp.int32(0),
-                            jnp.bfloat16)
-    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
-                               atol=1e-4, rtol=1e-4)
-    np.testing.assert_allclose(
-        np.asarray(c2.k, np.float32), np.asarray(c1.k, np.float32),
-        atol=1e-4)
+    # two steps: step 1 reads step 0's K/V slab rows back through the
+    # cache, so a v-row written to the wrong bi (invisible in step-0
+    # logits — the fresh v enters attention in-kernel) surfaces here
+    for i in range(2):
+        toks = jnp.asarray((np.arange(b) + 3 * i) % cfg.n_mel_vocab,
+                           jnp.int32)
+        l1, c1 = ar.decode_step(params, cfg_off, c1, toks, jnp.int32(i),
+                                jnp.bfloat16)
+        l2, c2 = ar.decode_step(params, cfg, c2, toks, jnp.int32(i),
+                                jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(c2.k, np.float32), np.asarray(c1.k, np.float32),
+            atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(c2.v, np.float32), np.asarray(c1.v, np.float32),
+            atol=1e-4)
 
 
 def test_fused_gates_correctly(setup):

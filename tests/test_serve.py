@@ -64,16 +64,42 @@ def test_batched_requests(models, voice):
     assert st["failed_batches"] == 0
 
 
-def test_error_isolation(models, voice):
+def test_submit_validation(models, voice):
+    """Malformed input fails its own submit() call — it never reaches the
+    queue, so it cannot poison requests batched alongside it."""
+    from tortoise_tpu.pipeline.ar_stage import TEXT_BUCKETS
+
+    server = serve.SynthesisServer(models, default_voice=voice)
+    with server:
+        with pytest.raises(ValueError, match="voice latent"):
+            server.submit(tokens=[255, 5, 0],
+                          voice=np.zeros((3,), np.float32))
+        with pytest.raises(ValueError, match="text too long"):
+            server.submit(tokens=[3] * (max(TEXT_BUCKETS) + 1))
+        with pytest.raises(ValueError, match="empty"):
+            server.submit(tokens=[])
+    assert server.stats()["rows"] == 0
+
+
+def test_error_isolation(models, voice, monkeypatch):
     """A failing batch resolves its futures with the exception and the
     worker keeps serving later requests."""
     rng = np.random.default_rng(1)
+    real = serve.synthesize_batch
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected batch failure")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(serve, "synthesize_batch", flaky)
     server = serve.SynthesisServer(models, max_batch=2, max_wait_ms=10,
                                    default_voice=voice)
     with server:
-        bad = server.submit(tokens=_tokens(rng, 4),
-                            voice=np.zeros((3,), np.float32))  # wrong dim
-        with pytest.raises(Exception):
+        bad = server.submit(tokens=_tokens(rng, 4))
+        with pytest.raises(RuntimeError, match="injected"):
             bad.result(timeout=600)
         good = server.submit(tokens=_tokens(rng, 4))
         assert len(good.result(timeout=600).audio) > 0

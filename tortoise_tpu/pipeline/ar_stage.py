@@ -40,11 +40,7 @@ from tortoise_tpu.ops import sampling as S
 
 _MATMUL_WEIGHTS = ("attn_w", "proj_w", "fc_w", "fc_proj_w")
 
-
-def _barrier(x) -> None:
-    """Force completion (block_until_ready can return early over the
-    remote-TPU tunnel; a 1-element device->host read is reliable)."""
-    np.asarray(jnp.ravel(x)[:1])
+from tortoise_tpu.pipeline.common import device_barrier as _barrier
 
 
 def cast_matmul_weights(params, dtype, int8: bool = False):

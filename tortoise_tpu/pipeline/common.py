@@ -10,6 +10,17 @@ def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def device_barrier(x) -> None:
+    """Force completion of a device array. block_until_ready can return
+    early over the remote-TPU tunnel (project gotcha); a 1-element
+    device->host read is the reliable barrier."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    np.asarray(jnp.ravel(x)[:1])
+
+
 def mesh_context(mesh):
     """`with mesh:` when a Mesh is given, else a no-op context."""
     return mesh if mesh is not None else contextlib.nullcontext()

@@ -147,12 +147,7 @@ class TortoiseModels:
         )
 
 
-def _sync(x) -> None:
-    """Force completion of a device array (block_until_ready can return
-    early over the remote-TPU tunnel; a 1-element read is reliable)."""
-    import jax.numpy as jnp
-
-    np.asarray(jnp.ravel(x)[:1])
+from tortoise_tpu.pipeline.common import device_barrier as _sync
 
 
 @dataclasses.dataclass

@@ -89,10 +89,12 @@ class SynthesisServer:
         batch_buckets: Sequence[int] = DEFAULT_B_BUCKETS,
         mesh=None,
         default_voice=None,
+        voice_dir: Optional[str] = None,
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.models = models
+        self.voice_dir = voice_dir
         self.compute_dtype = compute_dtype
         self.int8_weights = int8_weights
         self.max_batch = max_batch
@@ -108,6 +110,7 @@ class SynthesisServer:
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self._lock = threading.Lock()
+        self._closed = True  # flipped by start()/stop() under _lock
         self._stats = {"batches": 0, "rows": 0, "padded_rows": 0,
                        "failed_batches": 0}
 
@@ -117,6 +120,7 @@ class SynthesisServer:
         if self._worker is not None:
             raise RuntimeError("server already started")
         self._stop.clear()
+        self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="tortoise-serve-worker")
         self._worker.start()
@@ -127,6 +131,12 @@ class SynthesisServer:
         served first; otherwise they fail with RuntimeError."""
         if self._worker is None:
             return
+        with self._lock:
+            # no new submits land after this point (submit checks _closed
+            # under the same lock before enqueueing, so a concurrent
+            # request can't slip in between the drain and worker exit and
+            # hang its future forever)
+            self._closed = True
         if drain:
             self._queue.join()
         self._stop.set()
@@ -153,21 +163,45 @@ class SynthesisServer:
                voice=None, seed: int = 0) -> "Future[SynthesisResult]":
         """Enqueue one utterance; returns a Future resolving to its
         SynthesisResult. `voice` is a (d,) latent, a path to a voice .bin,
-        or None for the server's default_voice."""
-        if self._worker is None:
-            raise RuntimeError("server not started")
+        a bare name resolved against voice_dir, or None for the server's
+        default_voice.
+
+        `seed` seeds the whole batch this request lands in (the first
+        request's seed wins) — under dynamic batching the exact output
+        depends on batch composition; see the module docstring.
+
+        Inputs are validated HERE, before enqueueing, so a malformed
+        request fails its own caller instead of poisoning the batch it
+        would have joined."""
         if tokens is None:
             if message is None:
                 raise ValueError("pass message or tokens")
             if self.models.tokenizer is None:
                 raise ValueError("models have no tokenizer; pass tokens")
             tokens = self.models.tokenizer.encode_pipeline(message)
+        tokens = list(map(int, tokens))
+        if not tokens:
+            raise ValueError("empty token sequence")
+        from tortoise_tpu.pipeline.ar_stage import TEXT_BUCKETS
+
+        if len(tokens) > max(TEXT_BUCKETS):
+            raise ValueError(
+                f"text too long: {len(tokens)} tokens > bucket max "
+                f"{max(TEXT_BUCKETS)}")
         voice_arr = (self._load_voice(voice) if voice is not None
                      else self.default_voice)
         if voice_arr is None:
             raise ValueError("no voice given and no default_voice set")
-        req = _Request(list(map(int, tokens)), voice_arr, int(seed))
-        self._queue.put(req)
+        d = self.models.ar_cfg.d_model
+        if voice_arr.shape != (d,):
+            raise ValueError(
+                f"voice latent must have shape ({d},), got "
+                f"{voice_arr.shape}")
+        req = _Request(tokens, voice_arr, int(seed))
+        with self._lock:
+            if self._closed or self._worker is None:
+                raise RuntimeError("server not started")
+            self._queue.put(req)
         return req.future
 
     def stats(self) -> dict:
@@ -180,7 +214,15 @@ class SynthesisServer:
 
     def _load_voice(self, voice) -> np.ndarray:
         if isinstance(voice, str):
-            return load_voice_latent(voice, self.models.ar_cfg.d_model)
+            import os
+
+            path = voice
+            if not os.path.exists(path) and self.voice_dir:
+                # bare voice name, like the CLI: models/<name>.bin
+                candidate = os.path.join(self.voice_dir, voice + ".bin")
+                if os.path.exists(candidate):
+                    path = candidate
+            return load_voice_latent(path, self.models.ar_cfg.d_model)
         return np.asarray(voice, np.float32)
 
     def _bucket(self, n: int) -> int:
@@ -251,9 +293,14 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
                      port: int = 8757):
     """ThreadingHTTPServer wrapping a started SynthesisServer.
 
-    POST /synthesize  {"message": str | "tokens": [int], "voice": name,
+    POST /synthesize  {"message": str | "tokens": [int],
+                       "voice": path or bare name (needs voice_dir),
                        "seed": int}            -> 200 audio/wav
     GET  /healthz                              -> 200 application/json
+
+    Invalid input fails at submit time with 400 (only the offending
+    request); a synthesis-side failure surfaces as 500. `seed` seeds the
+    batch the request lands in (see SynthesisServer.submit).
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -283,9 +330,12 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
                 fut = server.submit(
                     message=req.get("message"), tokens=req.get("tokens"),
                     voice=req.get("voice"), seed=int(req.get("seed", 0)))
-                result = fut.result()
-            except Exception as e:
+            except Exception as e:  # this request's input was bad
                 return self._json(400, {"error": str(e)})
+            try:
+                result = fut.result()
+            except Exception as e:  # synthesis-side failure: retryable
+                return self._json(500, {"error": str(e)})
             body = wav_bytes(result.audio, result.sample_rate)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
@@ -345,7 +395,8 @@ def main(argv=None) -> int:
         models, compute_dtype=compute_dtype,
         int8_weights=args.int8_weights and args.bf16,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        default_voice=voice)
+        default_voice=voice,
+        voice_dir=None if args.random_weights else args.models)
     server.start()
     httpd = make_http_server(server, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
