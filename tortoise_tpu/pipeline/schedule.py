@@ -82,7 +82,13 @@ def make_schedule(n_train: int = 4000, timestep_map=None,
     tmap = np.asarray(timestep_map, np.int64)
     acp_full = np.cumprod(1.0 - linear_betas(n_train))
     acp_at = acp_full[tmap]
-    prev_full = np.concatenate([[1.0], acp_at[:-1]])
+    # the reference's respacing accumulator is a FLOAT
+    # (`float last_alpha_cumulative_product = 1.0`, main.cpp:5654,
+    # 5662-5666): each respaced beta divides the double cumprod by the
+    # f32-rounded previous one (caught by tests/test_ddpm_oracle.py —
+    # ~9e-6 relative without the cast)
+    prev_full = np.concatenate(
+        [[1.0], acp_at[:-1].astype(np.float32).astype(np.float64)])
     betas = 1.0 - acp_at / prev_full
     acp = np.cumprod(1.0 - betas)
     acp_prev = np.concatenate([[1.0], acp[:-1]])
@@ -110,10 +116,15 @@ def timestep_embedding(timesteps, dim: int = 1024,
     """Sinusoidal embedding, cos half first (main.cpp:5496-5521).
     timesteps: (...,) -> (..., dim)."""
     half = dim // 2
-    freqs = jnp.exp(
-        -jnp.log(jnp.float32(max_period))
-        * jnp.arange(half, dtype=jnp.float32) / half
-    )
+    # the reference computes each frequency in DOUBLE and rounds once on
+    # the float assignment (`float freq = exp(-log(max_period) * i /
+    # half)`, main.cpp:5506); an all-f32 chain drifts the large
+    # arguments, and cos amplifies that by |t| (caught by
+    # tests/test_ddpm_oracle.py at t=3999: ~1e-4)
+    freqs = jnp.asarray(
+        np.exp(-np.log(float(max_period))
+               * np.arange(half, dtype=np.float64) / half),
+        jnp.float32)
     args = jnp.asarray(timesteps, jnp.float32)[..., None] * freqs
     emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
     if dim % 2:
