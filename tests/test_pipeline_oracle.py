@@ -1,0 +1,211 @@
+"""Live g++ oracle for the host-side pipeline rules: compile the
+reference's own apply_padding (main.cpp:4510-4532), trim_latents
+(main.cpp:4870-4915), get_relative_position_buckets (main.cpp:4722-4749)
+and writeWav (main.cpp:4821-4868) — all std-only — and compare against
+pipeline/ar_stage.apply_padding / trim_latents, ops/relpos, and io/wav.
+
+Same scheme as tests/test_sampler_oracle.py: the harness is generated
+from the reference source at test time (never committed), so a drifted
+padding rule, calm-token count, bucket formula, or WAV header byte fails
+against the real code, not against our reading of it."""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REF_MAIN = "/root/reference/main.cpp"
+
+HARNESS_TMPL = r"""
+#include <algorithm>
+#include <cassert>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <fstream>
+#include <iostream>
+#include <limits>
+#include <string>
+#include <vector>
+
+void localAssert(bool condition) {
+  if (!condition) { std::cerr << "assert failed\n"; exit(9); }
+}
+
+%(sliced)s
+
+int main(int argc, char **argv) {
+  std::string mode = argv[1];
+  if (mode == "pad") {
+    // argv: pad n; stdin: n i32 ids; stdout: 502 i32 ids
+    int n = atoi(argv[2]);
+    std::vector<int> vec(n);
+    if (fread(vec.data(), 4, n, stdin) != (size_t)n) return 2;
+    apply_padding(vec);
+    fwrite(vec.data(), 4, vec.size(), stdout);
+    return 0;
+  }
+  if (mode == "trim") {
+    // argv: trim batch; stdin: batch*502 i32 padded ids then
+    // batch*500*1024 f32 latents; stdout: per row, i32 kept-length then
+    // kept*1024 f32
+    int b = atoi(argv[2]);
+    // trim_latents logs sizes via std::cout; keep binary stdout clean
+    std::cout.rdbuf(std::cerr.rdbuf());
+    std::vector<std::vector<int>> mel_codes(b);
+    for (int i = 0; i < b; i++) {
+      mel_codes[i].resize(502);
+      if (fread(mel_codes[i].data(), 4, 502, stdin) != 502) return 2;
+    }
+    std::vector<float> latents((size_t)b * 500 * 1024);
+    if (fread(latents.data(), 4, latents.size(), stdin) != latents.size())
+      return 2;
+    std::vector<std::vector<float>> out = trim_latents(latents, mel_codes);
+    for (int i = 0; i < b; i++) {
+      int kept = (int)(out[i].size() / 1024);
+      fwrite(&kept, 4, 1, stdout);
+      fwrite(out[i].data(), 4, out[i].size(), stdout);
+    }
+    return 0;
+  }
+  if (mode == "buckets") {
+    int L = atoi(argv[2]);
+    std::vector<int> m = get_relative_position_buckets(L);
+    fwrite(m.data(), 4, m.size(), stdout);
+    return 0;
+  }
+  if (mode == "wav") {
+    // argv: wav n rate path; stdin: n f32 samples
+    int n = atoi(argv[2]);
+    int rate = atoi(argv[3]);
+    std::vector<float> data(n);
+    if (fread(data.data(), 4, n, stdin) != (size_t)n) return 2;
+    writeWav(argv[4], data, rate);
+    return 0;
+  }
+  return 3;
+}
+"""
+
+
+def _slice(src: str, start: str, end: str) -> str:
+    i = src.index(start)
+    j = src.index(end, i)
+    return src[i:j]
+
+
+@pytest.fixture(scope="module")
+def oracle(tmp_path_factory):
+    if shutil.which("g++") is None:
+        pytest.skip("g++ not available")
+    if not os.path.exists(REF_MAIN):
+        pytest.skip("reference source not available")
+    src = open(REF_MAIN, encoding="utf-8", errors="replace").read()
+    try:
+        sliced = "\n".join([
+            _slice(src, "void apply_padding(std::vector<int> &vec)",
+                   "template <typename T>"),
+            _slice(src, "std::vector<int> get_relative_position_buckets",
+                   "// takes the raw logits"),
+            _slice(src, "void writeWav(const char *filename",
+                   "// trims latents"),
+            _slice(src, "std::vector<std::vector<float>>\ntrim_latents",
+                   "// prints either all leaves"),
+        ])
+    except ValueError:
+        pytest.skip("reference pipeline markers moved; update the slicer")
+    tmp = tmp_path_factory.mktemp("pipeline_oracle")
+    cpp = tmp / "harness.cpp"
+    cpp.write_text(HARNESS_TMPL % {"sliced": sliced})
+    exe = tmp / "harness"
+    r = subprocess.run(["g++", "-O2", "-std=c++17", str(cpp), "-o", str(exe)],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"oracle build failed: {r.stderr[-800:]}")
+    return str(exe)
+
+
+def _run(exe, *args, stdin=b""):
+    r = subprocess.run([exe] + [str(a) for a in args], input=stdin,
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr[-300:]
+    return r.stdout
+
+
+def test_apply_padding_matches_reference_binary(oracle):
+    from tortoise_tpu.config import ARConfig
+    from tortoise_tpu.pipeline.ar_stage import apply_padding
+
+    cfg = ARConfig()
+    cases = [
+        [4, 9, 1, 7, 83, 2],
+        [3, 3, 3],
+        [8139, 8139],                     # all-trailing-8139 -> empty
+        [5] * 500,                        # already full length
+        [1, 8139, 2, 8139, 8139, 8139],   # inner 8139s survive
+        [],
+    ]
+    for seq in cases:
+        ids = np.asarray(seq, np.int32)
+        want = np.frombuffer(
+            _run(oracle, "pad", len(ids), stdin=ids.tobytes()), "<i4")
+        got = np.asarray(apply_padding(list(seq), cfg), np.int32)
+        np.testing.assert_array_equal(got, want, err_msg=str(seq[:8]))
+
+
+def test_trim_latents_matches_reference_binary(oracle):
+    from tortoise_tpu.config import ARConfig
+    from tortoise_tpu.pipeline.ar_stage import apply_padding, trim_latents
+
+    cfg = ARConfig()
+    rng = np.random.default_rng(0)
+    # row 0: early calm run (>8 x 83) mid-sequence; row 1: no long calm
+    # run until the pad tail
+    seqs = [
+        [4, 9] + [83] * 12 + [7, 2],
+        [5, 6, 7] * 30,
+    ]
+    padded = [apply_padding(list(s), cfg) for s in seqs]
+    latents = rng.normal(0, 1, (2, 500, 1024)).astype(np.float32)
+    blob = (np.asarray(padded, np.int32).tobytes()
+            + latents.tobytes())
+    out = _run(oracle, "trim", 2, stdin=blob)
+    # parse per-row kept-length + data
+    off = 0
+    want = []
+    for _ in range(2):
+        kept = int(np.frombuffer(out, "<i4", 1, off)[0])
+        off += 4
+        want.append(np.frombuffer(out, "<f4", kept * 1024, off)
+                    .reshape(kept, 1024))
+        off += kept * 1024 * 4
+    got = trim_latents(latents, padded, cfg)
+    for b in range(2):
+        assert got[b].shape == want[b].shape, f"row {b} kept length"
+        np.testing.assert_array_equal(np.asarray(got[b], np.float32),
+                                      want[b], err_msg=f"row {b}")
+
+
+def test_relpos_buckets_match_reference_binary(oracle):
+    from tortoise_tpu.ops.relpos import relative_position_buckets
+
+    for L in (1, 2, 7, 43, 130):
+        want = np.frombuffer(_run(oracle, "buckets", L), "<i4").reshape(L, L)
+        got = relative_position_buckets(L, 32, 64)
+        np.testing.assert_array_equal(np.asarray(got, np.int32), want,
+                                      err_msg=f"L={L}")
+
+
+def test_wav_bytes_match_reference_binary(oracle, tmp_path):
+    from tortoise_tpu.io.wav import write_wav
+
+    rng = np.random.default_rng(1)
+    data = rng.normal(0, 0.2, 1234).astype(np.float32)
+    ref_path = tmp_path / "ref.wav"
+    _run(oracle, "wav", len(data), 24000, ref_path, stdin=data.tobytes())
+    ours_path = tmp_path / "ours.wav"
+    write_wav(str(ours_path), data, 24000)
+    assert ours_path.read_bytes() == ref_path.read_bytes()
