@@ -64,15 +64,10 @@ def main():
             3, models.ar_cfg.n_text_vocab,
             size=int(rng.integers(16, 30))).tolist() + [0]
 
-    # warmup: one batch per bucket size <= max_batch so the timed window
-    # sees no compiles
-    buckets = [b for b in server.batch_buckets if b <= max_batch]
-    for b in buckets:
-        futs = [server.submit(tokens=toks(), seed=b) for _ in range(b)]
-        for f in futs:
-            f.result()
-    print(f"warmup done (buckets {buckets}); starting timed window",
-          flush=True)
+    # warmup: one compile per bucket size <= max_batch so the timed
+    # window sees no compiles
+    server.warmup(text_len=28)
+    print("warmup done; starting timed window", flush=True)
     base = dict(server.stats())
 
     lat = []

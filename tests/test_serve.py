@@ -106,6 +106,22 @@ def test_error_isolation(models, voice, monkeypatch):
     assert server.stats()["failed_batches"] == 1
 
 
+def test_warmup_compiles_buckets(models, voice):
+    """warmup() runs one batch per B bucket directly (queue bypassed) and
+    needs a default voice."""
+    server = serve.SynthesisServer(models, max_batch=2, max_wait_ms=10,
+                                   default_voice=voice)
+    with server:
+        server.warmup(text_len=4)
+    # queue untouched: direct calls don't count in the batch stats
+    st = server.stats()
+    assert st["rows"] == 0 and st["queued"] == 0
+    no_voice = serve.SynthesisServer(models, max_batch=2)
+    with no_voice:
+        with pytest.raises(ValueError, match="default_voice"):
+            no_voice.warmup()
+
+
 def test_submit_requires_start(models, voice):
     server = serve.SynthesisServer(models, default_voice=voice)
     with pytest.raises(RuntimeError):

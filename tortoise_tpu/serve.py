@@ -210,6 +210,33 @@ class SynthesisServer:
         s["queued"] = self._queue.qsize()
         return s
 
+    def warmup(self, text_len: int = 24, buckets: Optional[Sequence[int]]
+               = None) -> None:
+        """Compile every (text-bucket, B-bucket) program before taking
+        traffic: submits one dummy batch per B bucket (<= max_batch) and
+        blocks until each resolves. With the persistent compilation cache
+        on (utils/runtime.enable_compilation_cache) later processes load
+        the compiled programs instead; without a warmup the first request
+        of an unseen bucket pays the full remote compile (minutes on a
+        tunneled TPU) inside its latency. Dummy tokens are `text_len`
+        copies of id 1 wrapped 255/0, run with the default voice."""
+        if self.default_voice is None:
+            raise ValueError("warmup needs a default_voice")
+        tokens = [255] + [1] * text_len + [0]
+        for b in buckets or self.batch_buckets:
+            if b > self.max_batch:
+                continue
+            # bypass the queue: a direct call compiles exactly the
+            # bucket-b program (queued submits could split across
+            # admission windows and skip a bucket). Call before serving
+            # traffic, not concurrently with it.
+            synthesize_batch(
+                self.models, tokens_list=[list(tokens)] * b,
+                voices=[self.default_voice] * b, seed=0,
+                compute_dtype=self.compute_dtype,
+                int8_weights=self.int8_weights, mesh=self.mesh,
+                materialize=False)
+
     # -- worker ------------------------------------------------------------
 
     def _load_voice(self, voice) -> np.ndarray:
@@ -365,6 +392,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-int8-weights", dest="int8_weights",
                    action="store_false")
     p.add_argument("--cache-dir", default=None)
+    p.add_argument("--warmup", action="store_true",
+                   help="compile every batch-bucket program before "
+                        "accepting traffic")
     p.add_argument("--random-weights", action="store_true",
                    help="synthetic weights (the GGML files are not "
                         "redistributable); random default voice")
@@ -398,6 +428,9 @@ def main(argv=None) -> int:
         default_voice=voice,
         voice_dir=None if args.random_weights else args.models)
     server.start()
+    if args.warmup:
+        print("warming up (one compile per batch bucket)...", flush=True)
+        server.warmup()
     httpd = make_http_server(server, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)",
