@@ -128,6 +128,25 @@ def test_submit_requires_start(models, voice):
         server.submit(tokens=[255, 5, 0])
 
 
+def test_serve_on_mesh(models, voice):
+    """The server shards its batches over a mesh's dp axis: 4 requests on
+    a (4, 2) virtual mesh resolve through the dp-sharded batched
+    pipeline."""
+    from tortoise_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(4)
+    mesh = make_mesh(8, shape=(4, 2))
+    server = serve.SynthesisServer(models, max_batch=4, max_wait_ms=3000,
+                                   default_voice=voice, mesh=mesh)
+    with server:
+        futs = [server.submit(tokens=_tokens(rng, 5), seed=3)
+                for _ in range(4)]
+        results = [f.result(timeout=600) for f in futs]
+    assert all(len(r.audio) > 0 for r in results)
+    st = server.stats()
+    assert st["batches"] == 1 and st["rows"] == 4
+
+
 def test_http_front_end(models, voice):
     rng = np.random.default_rng(2)
     server = serve.SynthesisServer(models, max_batch=2, max_wait_ms=10,
