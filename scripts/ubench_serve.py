@@ -73,11 +73,15 @@ def main():
     lat = []
     lat_lock = threading.Lock()
     audio_s = [0.0]
+    # pre-generate per-request tokens on the main thread (np.random
+    # Generators are not thread-safe; concurrent draws would corrupt the
+    # request mix and break seed reproducibility)
+    request_tokens = [toks() for _ in range(n_requests)]
 
     def client(i, delay):
         time.sleep(delay)
         t0 = time.monotonic()
-        r = server.submit(tokens=toks(), seed=i).result()
+        r = server.submit(tokens=request_tokens[i], seed=i).result()
         dt = time.monotonic() - t0
         with lat_lock:
             lat.append(dt)

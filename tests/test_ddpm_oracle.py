@@ -17,7 +17,6 @@ code: the harness is generated into the pytest tmp dir each run."""
 
 import os
 import shutil
-import struct
 import subprocess
 
 import numpy as np

@@ -15,7 +15,6 @@ enters the repo)."""
 
 import os
 import shutil
-import struct
 import subprocess
 
 import numpy as np

@@ -113,6 +113,9 @@ def test_fuzz_against_reference_binary(oracle):
         " leading and trailing ",
     ]
     want = _reference_ids(oracle, lines)
+    assert len(want) == len(lines), (
+        "oracle row count mismatch — the stdout log filter dropped or "
+        "kept a wrong line; fix _reference_ids before trusting pairings")
     for line, w in zip(lines, want):
         got = tok.encode_pipeline(line, "greedy")
         assert got == w, f"mismatch on {line!r}: {got} != {w}"

@@ -211,31 +211,40 @@ class SynthesisServer:
         return s
 
     def warmup(self, text_len: int = 24, buckets: Optional[Sequence[int]]
-               = None) -> None:
-        """Compile every (text-bucket, B-bucket) program before taking
-        traffic: submits one dummy batch per B bucket (<= max_batch) and
-        blocks until each resolves. With the persistent compilation cache
-        on (utils/runtime.enable_compilation_cache) later processes load
-        the compiled programs instead; without a warmup the first request
-        of an unseen bucket pays the full remote compile (minutes on a
-        tunneled TPU) inside its latency. Dummy tokens are `text_len`
-        copies of id 1 wrapped 255/0, run with the default voice."""
+               = None, text_lens: Optional[Sequence[int]] = None) -> None:
+        """Compile the serving programs before taking traffic: one dummy
+        batch per reachable B bucket, for each text length in
+        `text_lens` (default: just `text_len`). Reachable = every bucket
+        a real batch can pad to, including _bucket(max_batch) when
+        max_batch falls between bucket values. Blocks until each batch
+        resolves. With the persistent compilation cache on
+        (utils/runtime.enable_compilation_cache) later processes load
+        the compiled programs instead; without a warmup the first
+        request of an unseen (text-bucket, B-bucket) pair pays the full
+        remote compile (minutes on a tunneled TPU) inside its latency.
+        NOTE: this warms only the text bucket(s) containing the given
+        lengths — pass several `text_lens` (one per ar_stage text bucket
+        you expect traffic in) for full coverage. Dummy tokens are id 1
+        wrapped 255/0, run with the default voice."""
         if self.default_voice is None:
             raise ValueError("warmup needs a default_voice")
-        tokens = [255] + [1] * text_len + [0]
-        for b in buckets or self.batch_buckets:
-            if b > self.max_batch:
-                continue
-            # bypass the queue: a direct call compiles exactly the
-            # bucket-b program (queued submits could split across
-            # admission windows and skip a bucket). Call before serving
-            # traffic, not concurrently with it.
-            synthesize_batch(
-                self.models, tokens_list=[list(tokens)] * b,
-                voices=[self.default_voice] * b, seed=0,
-                compute_dtype=self.compute_dtype,
-                int8_weights=self.int8_weights, mesh=self.mesh,
-                materialize=False)
+        cap = self._bucket(self.max_batch)
+        todo = self.batch_buckets if buckets is None else buckets
+        for n in (text_lens if text_lens is not None else [text_len]):
+            tokens = [255] + [1] * int(n) + [0]
+            for b in todo:
+                if b > cap:
+                    continue
+                # bypass the queue: a direct call compiles exactly the
+                # bucket-b program (queued submits could split across
+                # admission windows and skip a bucket). Call before
+                # serving traffic, not concurrently with it.
+                synthesize_batch(
+                    self.models, tokens_list=[list(tokens)] * b,
+                    voices=[self.default_voice] * b, seed=0,
+                    compute_dtype=self.compute_dtype,
+                    int8_weights=self.int8_weights, mesh=self.mesh,
+                    materialize=False)
 
     # -- worker ------------------------------------------------------------
 
@@ -393,8 +402,8 @@ def main(argv=None) -> int:
                    action="store_false")
     p.add_argument("--cache-dir", default=None)
     p.add_argument("--warmup", action="store_true",
-                   help="compile every batch-bucket program before "
-                        "accepting traffic")
+                   help="compile the batch-bucket programs (for the "
+                        "default text bucket) before accepting traffic")
     p.add_argument("--random-weights", action="store_true",
                    help="synthetic weights (the GGML files are not "
                         "redistributable); random default voice")
