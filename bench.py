@@ -190,8 +190,22 @@ def main() -> int:
         return result, wall
 
     # warmup: compile everything (AR prefill/loop/latents, diffusion,
-    # vocoder) for this shape set
-    _, compile_wall = run(0)
+    # vocoder) for this shape set. If the fused decode kernel fails to
+    # compile on this backend (Mosaic regressions have version-skewed on
+    # the tunneled dev slice before), fall back to the XLA decode plane
+    # rather than losing the whole benchmark; the JSON discloses it.
+    fused_fallback = None
+    try:
+        _, compile_wall = run(0)
+    except Exception as e:
+        if not models.ar_cfg.fused_decode:
+            raise
+        fused_fallback = f"{type(e).__name__}: {e}"[:300]
+        print(f"fused decode plane failed, retrying on the XLA plane: "
+              f"{fused_fallback}", file=sys.stderr, flush=True)
+        models.ar_cfg = dataclasses.replace(models.ar_cfg,
+                                            fused_decode=False)
+        _, compile_wall = run(0)
 
     if child:
         # second-process probe: report this process's first-run wall (the
@@ -241,6 +255,8 @@ def main() -> int:
         "bf16": use_bf16,
     }
     line["int8_weights"] = int8
+    if fused_fallback:
+        line["fused_fallback"] = fused_fallback
     line.update(roofline_stats(models, result, use_bf16, int8))
 
     # batched serving sweep: aggregate RTF per chip for B utterances
