@@ -210,8 +210,28 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="element-wise abs tolerance (reference: 0.01)")
     p.add_argument("--stages", default="ar,diff,voc",
                    help="comma list from {ar,diff,voc}")
+    p.add_argument("--oracles", action="store_true",
+                   help="also run the live g++ oracle suites (compile the "
+                        "reference's own sampler/DDPM/pipeline/tokenizer "
+                        "functions from source and compare) — parity "
+                        "evidence that needs no weight files")
     args = p.parse_args(argv)
     assets = args.assets or os.path.join(args.reference, "assets")
+
+    if args.oracles:
+        import subprocess
+
+        tests_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests")
+        suites = sorted(
+            os.path.join(tests_dir, f) for f in os.listdir(tests_dir)
+            if re.fullmatch(r"test_\w+_oracle\.py", f))
+        rc = subprocess.call(
+            [sys.executable, "-m", "pytest", "-q", *suites])
+        print(f"oracle suites: {'PASS' if rc == 0 else 'FAIL'}",
+              flush=True)
+        if rc != 0:
+            return rc
 
     results: List[StageResult] = []
     for name in args.stages.split(","):
