@@ -80,6 +80,31 @@ def test_cli_random_tiny(tmp_path):
     assert "RTF" in proc.stdout
 
 
+def test_cli_messages_file(tmp_path):
+    """--messages-file drives the batched pipeline and writes one WAV per
+    line (stand-in tokens with tiny random models)."""
+    mfile = tmp_path / "msgs.txt"
+    mfile.write_text("first line\nsecond one\n\n")
+    out = str(tmp_path / "batch.wav")
+    proc = subprocess.run(
+        [sys.executable, "-m", "tortoise_tpu.cli", "--random-weights",
+         "--tiny", "--seed", "1", "--output", out,
+         "--messages-file", str(mfile),
+         "--models", "/root/reference/models"],
+        capture_output=True, text=True, timeout=900,
+        env={**__import__("os").environ,
+             "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": "",
+             "PYTHONPATH": "/root/repo"},
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    for i in range(2):
+        audio, rate = read_wav(str(tmp_path / f"batch-{i}.wav"))
+        assert rate == 24000 and len(audio) > 0
+    assert "batch of 2" in proc.stdout
+
+
 def test_synthesize_batch(models):
     from tortoise_tpu.pipeline.synthesize import synthesize_batch
 
