@@ -333,3 +333,19 @@ def test_int8_denoiser_close_and_runs(setup):
     om = np.asarray(dm.denoise(p8, cfg, x, code, jnp.int32(7), buckets,
                                mask=mask))
     assert np.all(om[1, :, t - 3:] == 0.0)
+
+
+def test_progress_cuts_cover_all_steps():
+    """The progress-chunked loop's boundaries must end exactly at n for
+    EVERY step count — a fixed `n + 8` range stop used to silently drop
+    the final denoise steps (incl. the t=0 mean-only one) for counts
+    like 101/111."""
+    from tortoise_tpu.pipeline.diffusion_stage import _progress_cuts
+
+    for n in list(range(1, 130)) + [160, 200, 1000]:
+        cuts = _progress_cuts(n)
+        assert cuts[0] == 0 and cuts[-1] == n, (n, cuts)
+        assert cuts == sorted(set(cuts)), (n, cuts)
+        # bounded chunk count: stride max(1, n // 10) gives at most
+        # n+1 boundaries for n < 20 (per-step) and <= ~16 beyond
+        assert len(cuts) <= min(n + 1, 20), (n, cuts)

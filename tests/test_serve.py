@@ -31,7 +31,9 @@ def voice(models):
 
 
 def _tokens(rng, n):
-    return [255] + rng.integers(3, 50, size=n).tolist() + [0]
+    # in-vocab for the tiny 32-entry text vocab (oversized ids now fail
+    # validation at the stage boundary)
+    return [1] + rng.integers(3, 30, size=n).tolist() + [0]
 
 
 def test_bucketing():
@@ -72,12 +74,14 @@ def test_submit_validation(models, voice):
     server = serve.SynthesisServer(models, default_voice=voice)
     with server:
         with pytest.raises(ValueError, match="voice latent"):
-            server.submit(tokens=[255, 5, 0],
+            server.submit(tokens=[1, 5, 0],
                           voice=np.zeros((3,), np.float32))
         with pytest.raises(ValueError, match="text too long"):
             server.submit(tokens=[3] * (max(TEXT_BUCKETS) + 1))
         with pytest.raises(ValueError, match="empty"):
             server.submit(tokens=[])
+        with pytest.raises(ValueError, match="outside vocab"):
+            server.submit(tokens=[255, 5, 0])  # tiny vocab is 32
     assert server.stats()["rows"] == 0
 
 

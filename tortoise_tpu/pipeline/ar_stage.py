@@ -159,6 +159,20 @@ def _cast_matmul_weights(params, dtype, int8: bool = False):
 TEXT_BUCKETS = (32, 64, 128, 192, 256, 320, 404)
 
 
+def _check_token_range(tokens_list, cfg: ARConfig) -> None:
+    """Reject out-of-vocab text ids at the stage boundary. jnp.take's
+    default out-of-bounds gather mode FILLS with NaN for floats, so an
+    oversized id (e.g. production id 255 fed to a tiny 32-vocab test
+    model) silently NaN-poisons the embeddings and every stage after
+    them — diagnosed as all-NaN mel two stages later."""
+    for seq in tokens_list:
+        for tok in seq:
+            if not 0 <= tok < cfg.n_text_vocab:
+                raise ValueError(
+                    f"text token id {tok} outside vocab "
+                    f"[0, {cfg.n_text_vocab})")
+
+
 def pick_bucket(n: int, buckets: Sequence[int] = TEXT_BUCKETS) -> int:
     for b in buckets:
         if n <= b:
@@ -244,6 +258,7 @@ def _decode_jit(params, cfg, cache, tokens, step, compute_dtype=None,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "qkv_f16", "max_steps"),
+    donate_argnames=("cache",),
 )
 def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
                   max_steps: int, compute_dtype=None, qkv_f16=False):
@@ -254,6 +269,11 @@ def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
     reference keeps decoding finished sequences); lengths[b] counts ids
     appended to sequence b (stop token included), mirroring the
     append-unless-finished rule (main.cpp:5205-5214).
+
+    The cache is donated: it is dead after this call (the latent pass
+    re-runs the full sequence from scratch), and without donation XLA
+    keeps the prefill cache alive next to the while-loop carry copy —
+    2x peak KV HBM during decode.
     """
     b = first_logits.shape[0]
     stop = cfg.stop_mel_token
@@ -321,7 +341,7 @@ def _latents_jit(params, cfg, text_ids, text_valid, mel_ids, voice,
 # driver
 # ---------------------------------------------------------------------------
 
-def _sequences_from_token_matrix(tokens, lengths, cfg):
+def _sequences_from_token_matrix(tokens, lengths):
     """Rebuild the per-sequence id lists with the reference's
     append-unless-finished rule."""
     seqs = []
@@ -361,6 +381,7 @@ def autoregressive_batch(
     tokens_list = [list(map(int, t)) for t in tokens_list]
     if not tokens_list:
         raise ValueError("tokens_list is empty")
+    _check_token_range(tokens_list, cfg)
     b = len(tokens_list)
     lens = [len(t) for t in tokens_list]
     bucket = pick_bucket(max(lens))
@@ -399,7 +420,12 @@ def autoregressive_batch(
             _barrier(logits)
             st["ar_prefill_s"] = time.monotonic() - t_sub
             t_sub = time.monotonic()
-        first_ids = np.full((b, max(lens) + 2), 1, np.int32)
+        # padded to bucket+2 (not max(lens)+2): the penalty only sees the
+        # id SET {1, start} and apply_repetition_penalty is idempotent
+        # over duplicates, while the array's shape keys _generate_jit's
+        # jit cache — the exact length would recompile the whole decode
+        # loop for every distinct text length within a bucket
+        first_ids = np.full((b, bucket + 2), 1, np.int32)
         first_ids[:, -1] = cfg.start_mel_token
 
         key = jax.random.PRNGKey(seed)
@@ -412,7 +438,7 @@ def autoregressive_batch(
             st["ar_decode_loop_s"] = time.monotonic() - t_sub
             st["ar_decode_steps"] = int(n_steps)
         sequences = _sequences_from_token_matrix(toks,
-                                                 np.asarray(lengths), cfg)
+                                                 np.asarray(lengths))
         padded = [apply_padding(s, cfg) for s in sequences]
         if st is not None:
             t_sub = time.monotonic()
@@ -458,6 +484,19 @@ def autoregressive(
     diagnostics only, off the production path.
     """
     tokens = list(map(int, tokens))
+    _check_token_range([tokens], cfg)
+    if sampler == "jax":
+        # the batched driver with batch_size identical rows IS this path
+        # (one bucketed prefill, the on-device sample loop, the latent
+        # pass); keeping a second copy here bred divergence — the
+        # first_ids shape bug had to be fixed twice
+        return autoregressive_batch(
+            params, [tokens] * batch_size, np.asarray(voice, np.float32),
+            cfg, seed=seed, compute_dtype=compute_dtype, qkv_f16=qkv_f16,
+            int8_weights=int8_weights,
+            return_device_latents=return_device_latents,
+            substage_timings=substage_timings,
+        )
     t = len(tokens)
     bucket = pick_bucket(t)
     cfg = size_cache(cfg, bucket)
@@ -479,23 +518,13 @@ def autoregressive(
         t_sub = time.monotonic()
 
     # first-step penalty ids: the prefill filler vector per sequence
-    # ([1]*(T+1) + [8192], main.cpp:5100-5106)
-    first_ids = np.full((batch_size, t + 2), 1, np.int32)
+    # ([1]*(T+1) + [8192], main.cpp:5100-5106), padded to bucket+2 with
+    # more 1s — the penalty is idempotent over duplicate ids and the
+    # bucket-stable shape keeps the decode jit at one compile per bucket
+    first_ids = np.full((batch_size, bucket + 2), 1, np.int32)
     first_ids[:, -1] = cfg.start_mel_token
 
-    if sampler == "jax":
-        key = jax.random.PRNGKey(seed)
-        toks, n_steps, lengths = _generate_jit(
-            params, cfg, logits, jnp.asarray(first_ids), cache, key,
-            cfg.max_decode_steps, compute_dtype, qkv_f16,
-        )
-        toks = np.asarray(toks)
-        if st is not None:
-            st["ar_decode_loop_s"] = time.monotonic() - t_sub
-            st["ar_decode_steps"] = int(n_steps)
-        sequences = _sequences_from_token_matrix(toks, np.asarray(lengths),
-                                                 cfg)
-    elif sampler == "reference":
+    if sampler == "reference":
         if rng is None:
             from tortoise_tpu.rng import ReferenceRng
 

@@ -89,6 +89,16 @@ def quantize_diffusion_weights(params):
     return out
 
 
+def _progress_cuts(n: int):
+    """Chunk boundaries [0, ..., n] (~10 chunks) for the progress-bar
+    loop. The stop steps past n by the stride and n is appended
+    explicitly — an earlier fixed `n + 8` stop silently dropped the
+    FINAL denoise steps (including the t=0 mean-only one) for step
+    counts like 101/111 where no stride multiple lands in [n, n+8)."""
+    step = max(1, n // 10)
+    return sorted({min(n, c) for c in range(0, n + step, step)} | {n})
+
+
 def _schedule_arrays(cfg: DiffusionConfig):
     return _schedule_arrays_cached(cfg, _backend_token())
 
@@ -329,7 +339,7 @@ def diffusion_batch(
                                   0.0)
             progress(0.0)
             x = noise
-            cuts = sorted({min(n, c) for c in range(0, n + 8, max(1, n // 10))})
+            cuts = _progress_cuts(n)
             for lo, hi in zip(cuts[:-1], cuts[1:]):
                 x, key = _diffusion_loop_jit(
                     params, cfg, sched, code_emb2, x, out_buckets,

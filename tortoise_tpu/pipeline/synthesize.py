@@ -190,6 +190,8 @@ def synthesize_batch(
     from tortoise_tpu.pipeline.vocoder_stage import vocoder_batch
 
     if tokens_list is None:
+        if messages is None:
+            raise ValueError("pass messages or tokens_list")
         if models.tokenizer is None:
             raise ValueError("no tokenizer available; pass tokens_list")
         tokens_list = [
@@ -288,7 +290,9 @@ def synthesize_batch(
             sequences=[sequences[i]],
             latents=[latents[i]],
             tokens=list(tokens_list[i]),
-            timings=timings,
+            # per-row copy: rows report the same whole-batch stage walls,
+            # but a caller mutating one row's dict must not edit them all
+            timings=dict(timings),
         )
         for i in range(b)
     ]

@@ -173,6 +173,8 @@ class SynthesisServer:
         Inputs are validated HERE, before enqueueing, so a malformed
         request fails its own caller instead of poisoning the batch it
         would have joined."""
+        if self._worker is None:
+            raise RuntimeError("server not started")
         if tokens is None:
             if message is None:
                 raise ValueError("pass message or tokens")
@@ -188,6 +190,11 @@ class SynthesisServer:
             raise ValueError(
                 f"text too long: {len(tokens)} tokens > bucket max "
                 f"{max(TEXT_BUCKETS)}")
+        v = self.models.ar_cfg.n_text_vocab
+        bad = [t for t in tokens if not 0 <= t < v]
+        if bad:
+            raise ValueError(
+                f"text token ids outside vocab [0, {v}): {bad[:5]}")
         voice_arr = (self._load_voice(voice) if voice is not None
                      else self.default_voice)
         if voice_arr is None:
@@ -231,7 +238,10 @@ class SynthesisServer:
         cap = self._bucket(self.max_batch)
         todo = self.batch_buckets if buckets is None else buckets
         for n in (text_lens if text_lens is not None else [text_len]):
-            tokens = [255] + [1] * int(n) + [0]
+            # id 1 / terminal 0 are in-vocab for any model incl. tiny test
+            # configs (production wrapping prepends 255, but only the
+            # LENGTH matters for the compiled bucket)
+            tokens = [1] * (int(n) + 1) + [0]
             for b in todo:
                 if b > cap:
                     continue
