@@ -159,3 +159,26 @@ def test_formula_blocks_path_small():
     want = xla_attention(q, k, v, bias)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want), atol=2e-4)
+
+
+def test_packed_hpp_one_clamps_to_two():
+    """hpp=1 (a plausible tuning value) must clamp to 2, not
+    ZeroDivisionError at trace time."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from tortoise_tpu.ops.pallas.flash_attention import (
+        flash_attention_packed,
+    )
+
+    rng = np.random.default_rng(0)
+    h, d, t = 4, 64, 128
+    qkv = jnp.asarray(rng.normal(0, 1, (1, t, 3 * h * d)), jnp.float32)
+    table = jnp.asarray(rng.normal(0, 0.3, (32, h)), jnp.float32)
+    out1 = flash_attention_packed(qkv, h, None, bias_table=table, bq=64,
+                                  interpret=True, hpp=1)
+    out2 = flash_attention_packed(qkv, h, None, bias_table=table, bq=64,
+                                  interpret=True, hpp=2)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=1e-5)

@@ -193,3 +193,17 @@ def test_fused_gates_correctly(setup):
                                atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(l2[1]), np.asarray(l2[0]),
                                atol=0, rtol=0)
+
+
+def test_fused_sampler_rejects_oversized_top_k(setup):
+    """The in-kernel top-k domain is 128 lanes; a larger top_k must fail
+    loudly instead of silently sampling from a truncated candidate set
+    (the XLA plane has no such cap, so silence would diverge planes)."""
+    import jax
+
+    cfg, params, cache = setup
+    u = jnp.zeros((1, 1), jnp.float32) + 0.5
+    with pytest.raises(ValueError, match="top_k <= 128"):
+        ar.decode_sample_step(params, cfg, cache,
+                              jnp.asarray([4], jnp.int32), jnp.int32(0), u,
+                              jnp.bfloat16, sampler=(0.8, 200, 0.2, 2.0))

@@ -218,7 +218,7 @@ def decode_step(params, cfg: ARConfig, cache: KVCache, tokens: jax.Array,
     if (cfg.fused_decode and not qkv_f16
             and compute_dtype == jnp.bfloat16
             and isinstance(params["blocks"].get("attn_w"), tuple)
-            and _fits_fused(cfg, tokens.shape[0])):
+            and _fits_fused(tokens.shape[0])):
         # grid (L, B): rows iterate fastest and share each layer's int8
         # weight stream; per-row attention uses a block-diagonal head
         # layout (2 dots/row). Measured 1.08 vs 1.59 ms/step against the
@@ -346,7 +346,7 @@ FUSED_MAX_BATCH = 16  # grid is (L, B) with single-row KV/output blocks,
 # plane, which shards under meshes)
 
 
-def _fits_fused(cfg: ARConfig, batch: int) -> bool:
+def _fits_fused(batch: int) -> bool:
     return batch <= FUSED_MAX_BATCH
 
 
@@ -356,7 +356,7 @@ def can_fuse_sampling(params, cfg: ARConfig, compute_dtype,
     available: B<=16, bf16 compute, int8 weights with the padded head
     pack. B rows share the int8 weight stream — batched decode costs
     little more per step than B=1."""
-    return (cfg.fused_decode and _fits_fused(cfg, batch)
+    return (cfg.fused_decode and _fits_fused(batch)
             and compute_dtype == jnp.bfloat16
             and isinstance(params["blocks"].get("attn_w"), tuple)
             and params.get("head_pack") is not None)

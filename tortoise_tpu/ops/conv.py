@@ -120,8 +120,10 @@ def conv1d_nwc(x, w, b=None, stride: int = 1, padding: int = 0,
         precision=precision,
         preferred_element_type=jnp.float32,
     )
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
     if b is not None:
-        out = out + b
+        out = out + (b.astype(out_dtype) if out_dtype else b)
     return out
 
 

@@ -6,11 +6,14 @@ a lax.scan over layers) bottoms out at ~15 small fusions per layer — at
 scan spends ~0.3 ms/step on dispatch alone, plus 0.16 ms on the KV-slab
 dynamic-update-slice, against a 0.47 ms int8 weight-streaming floor
 (r3 profile of the 64-step loop; see scripts/ubench_decode.py). This
-kernel runs the whole trunk as one grid-(L,) Mosaic program: the
-activation vector lives in a VMEM scratch carried across grid steps,
-each step streams one layer's int8 weights + its KV cache slice through
-VMEM (double-buffered by the pipeline), and the only outputs are the
-fresh per-layer K/V rows and the final hidden state.
+kernel runs the whole trunk as one grid-(L, B) Mosaic program (rows
+iterate fastest, so all B rows share each layer's single int8 weight
+fetch): the per-row activation vectors live in a (B, D) VMEM scratch
+carried across grid steps, each (l, b) step streams that layer's weights
+plus ONE row's KV cache slice through VMEM (double-buffered by the
+pipeline), and the only outputs are the fresh per-(layer, row) K/V rows
+and the final hidden state. VMEM need and Mosaic compile time are
+independent of B.
 
 Semantics mirror decode_step exactly (reference: the per-token graph
 rebuild at main.cpp:5227-5247, block math at main.cpp:2718-2983):
@@ -368,6 +371,11 @@ def fused_decode_trunk(
             out_specs.append(per_row(1))
             out_shape.append(jax.ShapeDtypeStruct((bsz, 1), jnp.int32))
 
+    if sampler is not None and sampler[1] > 128:
+        raise ValueError(
+            f"fused sampler supports top_k <= 128 (its in-kernel top-k "
+            f"domain is 128 lanes); got top_k={sampler[1]} — use the XLA "
+            f"sampler plane instead")
     kernel = functools.partial(
         _kernel, n_layer=l, n_head=n_head, d_head=d_head, eps=eps,
         with_head=head is not None, sampler=sampler)

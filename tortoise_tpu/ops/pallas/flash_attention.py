@@ -313,8 +313,15 @@ def flash_attention_packed(
         band_scalars.dtype)
     band_cat = (band * LOG2E).swapaxes(1, 2).reshape(n_head, bq, 3 * bq)
 
-    while n_head % hpp or hpp % 2:
+    # clamp to a valid even divisor of n_head; floor at 2 (hpp=1 would
+    # decrement to 0 and ZeroDivisionError on the modulo)
+    while hpp > 2 and (n_head % hpp or hpp % 2):
         hpp -= 1
+    hpp = max(hpp, 2)
+    if n_head % hpp:
+        raise ValueError(
+            f"flash_attention_packed needs an even head count to pack "
+            f"{hpp} heads/program; got n_head={n_head}")
     grid = (b, n_head // hpp, tp // bq)
     in_specs = [
         pl.BlockSpec((1, bq, 3 * hpp * d), lambda bi, hg, qi: (bi, qi, hg)),
