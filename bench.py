@@ -174,7 +174,11 @@ def main() -> int:
         np.asarray(jnp_.ravel(jax.tree.leaves(dtree)[0])[:1])
         upload_s = time.monotonic() - t_up
     rng = np.random.default_rng(0)
-    tokens = [255] + rng.integers(
+    # production wrapping prepends id 255; clamp into the vocab for the
+    # BENCH_SMALL tiny models (32-entry vocab) — OOV ids are rejected at
+    # the stage boundary
+    start_tok = min(255, models.ar_cfg.n_text_vocab - 1)
+    tokens = [start_tok] + rng.integers(
         3, models.ar_cfg.n_text_vocab, size=24
     ).tolist() + [0]
     voice = rng.normal(0, 0.5, (models.ar_cfg.d_model,)).astype(np.float32)
@@ -269,7 +273,7 @@ def main() -> int:
         line["batched"] = {}
         for bsz in sizes:
             tlists = [
-                [255] + rng.integers(
+                [start_tok] + rng.integers(
                     3, models.ar_cfg.n_text_vocab, size=18 + 3 * (i % 6)
                 ).tolist() + [0]
                 for i in range(bsz)

@@ -59,8 +59,10 @@ def main():
         max_batch=max_batch, max_wait_ms=max_wait_ms, default_voice=voice)
     server.start()
 
+    start_tok = min(255, models.ar_cfg.n_text_vocab - 1)
+
     def toks():
-        return [255] + rng.integers(
+        return [start_tok] + rng.integers(
             3, models.ar_cfg.n_text_vocab,
             size=int(rng.integers(16, 30))).tolist() + [0]
 

@@ -73,3 +73,25 @@ def test_float_cast_rejects_quantized_tree():
     ar_q = quantize_ar_host(random_ar_params(acfg, seed=0, fast=True))
     with pytest.raises(ValueError, match="int8-quantized"):
         cast_matmul_weights(ar_q, jnp.bfloat16, int8=False)
+
+
+def test_list_nodes_round_trip_as_lists(tmp_path):
+    """Structural lists (vocoder stages) must come back as LISTS while
+    quantized pairs come back as tuples — a tuple-folded stages node
+    breaks jax.tree.map against the list-typed sharding spec trees."""
+    import numpy as np
+
+    from tortoise_tpu.io import plane_cache
+
+    tree = {
+        "stages": [{"w": np.ones((2, 2), np.float32)},
+                   {"w": np.zeros((2, 2), np.float32)}],
+        "pair": (np.ones((2, 2), np.int8), np.ones((1, 2), np.float32)),
+    }
+    p = str(tmp_path / "plane")
+    plane_cache.save_plane(tree, p)
+    got = plane_cache.load_plane(p)
+    assert isinstance(got["stages"], list) and len(got["stages"]) == 2
+    assert isinstance(got["pair"], tuple)
+    np.testing.assert_array_equal(got["stages"][0]["w"],
+                                  tree["stages"][0]["w"])

@@ -109,3 +109,24 @@ def test_native_and_python_encoders_agree(tok):
         "x[STOP]y", "", "a~b", "the[SPACE]the",
     ]:
         assert native_tok.encode(text) == py_tok.encode(text), text
+
+
+def test_bpe_merges_normalize_space_symbols(tmp_path):
+    """A tokenizer.json whose merges use the HF 'Gdot' space symbol must
+    still rank space-prefixed merges after key normalization (the vocab
+    keys were normalized but the merge pairs were not, stalling every
+    space-bearing merge)."""
+    import json
+
+    spec = {
+        "model": {
+            "vocab": {"[STOP]": 0, "h": 1, "i": 2, "Ġ": 3, "Ġh": 4,
+                      "Ġhi": 5, "hi": 6, "[SPACE]": 7},
+            "merges": ["Ġ h", "Ġh i", "h i"],
+        }
+    }
+    p = tmp_path / "tok.json"
+    p.write_text(json.dumps(spec))
+    tok = Tokenizer.from_file(str(p))
+    assert tok.merge_rank == {(" ", "h"): 0, (" h", "i"): 1, ("h", "i"): 2}
+    assert tok.encode(" hi", method="bpe") == [5]

@@ -169,10 +169,21 @@ def load_npz(path: str) -> dict:
     return delistify(out)
 
 
+def _cache_fresh(cache_path: str, source_path: str) -> bool:
+    """A converted-npz cache is valid only if it is newer than its GGML
+    source — replacing the weight file with the same cache_path used to
+    silently serve the OLD converted tree."""
+    try:
+        return os.path.getmtime(cache_path) >= os.path.getmtime(source_path)
+    except OSError:
+        return os.path.exists(cache_path)
+
+
 def convert_ar_checkpoint(ggml_path: str, cache_path: str | None = None,
                           cfg: ARConfig = ARConfig()) -> dict:
     """Load ggml-model.bin -> pytree, optionally caching as npz."""
-    if cache_path and os.path.exists(cache_path):
+    if cache_path and os.path.exists(cache_path) \
+            and _cache_fresh(cache_path, ggml_path):
         return load_npz(cache_path)
     from tortoise_tpu.io.ggml import read_ggml
 
@@ -351,7 +362,8 @@ def random_diffusion_params(cfg: DiffusionConfig, seed: int = 0,
 
 def convert_diffusion_checkpoint(ggml_path: str, cache_path=None,
                                  cfg: DiffusionConfig = DiffusionConfig()):
-    if cache_path and os.path.exists(cache_path):
+    if cache_path and os.path.exists(cache_path) \
+            and _cache_fresh(cache_path, ggml_path):
         return load_npz(cache_path)
     from tortoise_tpu.io.ggml import read_ggml
 
@@ -466,7 +478,8 @@ def random_vocoder_params(cfg: VocoderConfig, seed: int = 0,
 
 def convert_vocoder_checkpoint(ggml_path: str, cache_path=None,
                                cfg: VocoderConfig = VocoderConfig()):
-    if cache_path and os.path.exists(cache_path):
+    if cache_path and os.path.exists(cache_path) \
+            and _cache_fresh(cache_path, ggml_path):
         return load_npz(cache_path)
     from tortoise_tpu.io.ggml import read_ggml
 

@@ -32,22 +32,31 @@ import numpy as np
 _MANIFEST = "MANIFEST.json"
 
 
-def _flatten(prefix, node, out):
+def _flatten(prefix, node, out, lists):
     if isinstance(node, dict):
         for k, v in node.items():
-            _flatten(f"{prefix}{k}/", v, out)
+            _flatten(f"{prefix}{k}/", v, out, lists)
     elif isinstance(node, (list, tuple)):
+        if isinstance(node, list):
+            # remember which sequence nodes were LISTS: quantized pairs
+            # round-trip as tuples (isinstance(w, tuple) plane checks)
+            # but structural lists (e.g. the vocoder's stages) must come
+            # back as lists or jax.tree.map against list-typed spec
+            # trees (parallel/sharding.py) raises a structure mismatch
+            lists.append(prefix[:-1] or "")
         for i, v in enumerate(node):
-            _flatten(f"{prefix}#{i}/", v, out)
+            _flatten(f"{prefix}#{i}/", v, out, lists)
     else:
         out[prefix[:-1]] = np.asarray(node)
 
 
 def save_plane(tree: dict, path: str) -> None:
     """Write `tree` (host numpy pytree of dict/list/tuple/ndarray) under
-    directory `path`, atomically (tmp dir + rename)."""
+    directory `path`, atomically (tmp dir + rename). Concurrent writers
+    race benignly: one os.replace wins, the loser discards its tmp."""
     flat: dict = {}
-    _flatten("", tree, flat)
+    lists: list = []
+    _flatten("", tree, flat, lists)
     tmp = f"{path}.{os.getpid()}.tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -57,10 +66,18 @@ def save_plane(tree: dict, path: str) -> None:
         np.save(fp, arr)
     os.makedirs(tmp, exist_ok=True)
     with open(os.path.join(tmp, _MANIFEST), "w") as f:
-        json.dump({"keys": sorted(flat)}, f)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+        json.dump({"keys": sorted(flat), "lists": sorted(lists)}, f)
+    try:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    except OSError:
+        # two cold-starting processes saved the same plane: the other
+        # writer's replace landed between our rmtree and replace. Their
+        # cache is equivalent; drop ours.
+        if not plane_exists(path):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def plane_exists(path: str) -> bool:
@@ -76,7 +93,9 @@ def load_plane(path: str, mmap: bool = True) -> Optional[dict]:
     if not os.path.exists(mf):
         return None
     with open(mf) as f:
-        keys = json.load(f)["keys"]
+        manifest = json.load(f)
+    keys = manifest["keys"]
+    list_paths = set(manifest.get("lists", ()))
     out: dict = {}
     mode = "r" if mmap else None
     for key in keys:
@@ -87,11 +106,13 @@ def load_plane(path: str, mmap: bool = True) -> Optional[dict]:
         node[parts[-1]] = np.load(os.path.join(path, key + ".npy"),
                                   mmap_mode=mode)
 
-    def fold(node):
+    def fold(node, prefix):
         if not isinstance(node, dict):
             return node
         if node and all(k.startswith("#") for k in node):
-            return tuple(fold(node[f"#{i}"]) for i in range(len(node)))
-        return {k: fold(v) for k, v in node.items()}
+            seq = [fold(node[f"#{i}"], f"{prefix}#{i}/")
+                   for i in range(len(node))]
+            return seq if prefix[:-1] in list_paths else tuple(seq)
+        return {k: fold(v, f"{prefix}{k}/") for k, v in node.items()}
 
-    return fold(out)
+    return fold(out, "")

@@ -246,10 +246,17 @@ class NativeTokenizer:
         self._buf = (ctypes.c_int * 4096)()
 
     def encode_word(self, word: str):
-        n = self._lib.tok_encode_word(
-            self._handle, word.encode("utf-8"), self._buf, 4096
-        )
-        return list(self._buf[:n])
+        buf = self._buf
+        while True:
+            n = self._lib.tok_encode_word(
+                self._handle, word.encode("utf-8"), buf, len(buf)
+            )
+            if n < len(buf):
+                return list(buf[:n])
+            # buffer filled exactly: the word may have been truncated
+            # (silently diverging from the pure-Python plane) — retry
+            # with a larger buffer until the encoding fits
+            buf = (ctypes.c_int * (len(buf) * 4))()
 
     def __del__(self):
         try:

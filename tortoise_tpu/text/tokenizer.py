@@ -59,7 +59,12 @@ def load_vocab(
     merges = []
     for m in spec["model"].get("merges", []):
         a, b = m.split(" ") if isinstance(m, str) else m
-        merges.append((a, b))
+        # same Gdot/Cdot normalization as the vocab keys above — a merge
+        # rank keyed on the raw "Ġt" symbol could never match the
+        # normalized " t" parts the BPE loop builds, stalling every
+        # space-prefixed merge
+        merges.append((a.replace("Ġ", " ").replace("Ċ", "\n"),
+                       b.replace("Ġ", " ").replace("Ċ", "\n")))
     if reference_quirks:
         vocab.pop("[STOP]", None)
         vocab["version"] = 1

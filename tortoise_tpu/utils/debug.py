@@ -18,21 +18,29 @@ import numpy as np
 
 class DumpRegistry:
     def __init__(self, directory: Optional[str] = None):
-        self.directory = directory or os.environ.get("TORTOISE_DUMP_DIR")
+        self._directory = directory
         self.counter = 0
-        if self.directory:
-            os.makedirs(self.directory, exist_ok=True)
+        if directory:
+            os.makedirs(directory, exist_ok=True)
+
+    @property
+    def directory(self) -> Optional[str]:
+        # the env var is re-read per call so enabling TORTOISE_DUMP_DIR
+        # programmatically AFTER import still takes effect (the default
+        # registry is constructed at module import)
+        return self._directory or os.environ.get("TORTOISE_DUMP_DIR")
 
     @property
     def enabled(self) -> bool:
         return bool(self.directory)
 
     def dump(self, name: str, array) -> None:
-        if not self.enabled:
+        d = self.directory
+        if not d:
             return
+        os.makedirs(d, exist_ok=True)
         arr = np.asarray(array)
-        path = os.path.join(self.directory,
-                            f"{self.counter:04d}_{name}.npy")
+        path = os.path.join(d, f"{self.counter:04d}_{name}.npy")
         np.save(path, arr)
         self.counter += 1
 
@@ -46,14 +54,21 @@ def dump(name: str, array) -> None:
 
 def compare_dumps(dir_a: str, dir_b: str, atol: float = 1e-2,
                   ) -> List[Tuple[str, float]]:
-    """Diff two dump directories by tensor name (ignoring the counter
-    prefix). Returns [(name, max_abs_diff)] for mismatches beyond atol."""
+    """Diff two dump directories by tensor name (ignoring the NNNN_
+    counter prefix when present). Returns [(name, max_abs_diff)] for
+    mismatches beyond atol; a NaN anywhere in either tensor counts as a
+    mismatch (NaN comparisons are False, so a naive `diff > atol` would
+    report the poisoned tensor — the exact thing this tool exists to
+    catch — as a pass)."""
 
     def index(d: str) -> Dict[str, str]:
         out = {}
         for f in sorted(os.listdir(d)):
             if f.endswith(".npy"):
-                name = f.split("_", 1)[1][: -len(".npy")]
+                stem = f[: -len(".npy")]
+                head, _, tail = stem.partition("_")
+                # strip only a numeric counter prefix; keep bare names
+                name = tail if tail and head.isdigit() else stem
                 out[name] = os.path.join(d, f)
         return out
 
@@ -64,7 +79,11 @@ def compare_dumps(dir_a: str, dir_b: str, atol: float = 1e-2,
         if x.shape != y.shape:
             bad.append((name, float("inf")))
             continue
-        diff = float(np.max(np.abs(x - y))) if x.size else 0.0
-        if diff > atol:
-            bad.append((name, diff))
+        if x.size == 0:
+            continue
+        diff = np.abs(x.astype(np.float64) - y.astype(np.float64))
+        if np.isnan(diff).any():
+            bad.append((name, float("nan")))
+        elif float(np.max(diff)) > atol:
+            bad.append((name, float(np.max(diff))))
     return bad
