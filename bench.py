@@ -161,6 +161,18 @@ def main() -> int:
 
         from tortoise_tpu.pipeline.ar_stage import cast_matmul_weights
 
+        from tortoise_tpu.pipeline.common import device_barrier
+
+        def barrier_tree(tree):
+            # barrier the FIRST and LAST enqueued leaves: transfers to
+            # one device land in enqueue order, so the last completing
+            # bounds the whole tree (a 1-element read per leaf would add
+            # hundreds of tunnel round trips to the thing being timed)
+            leaves = [x for x in jax.tree.leaves(tree)
+                      if hasattr(x, "devices")]
+            for leaf in (leaves[:1] + leaves[-1:]):
+                device_barrier(leaf)
+
         t_up = time.monotonic()
         models.to_device(include_ar=False, include_diffusion=not int8)
         dtree = models.diffusion_params
@@ -170,8 +182,9 @@ def main() -> int:
             dtree = _prepare_params(models.diffusion_params, True)
             atree = cast_matmul_weights(models.ar_params, compute_dtype,
                                         int8=True)
-            np.asarray(jnp_.ravel(jax.tree.leaves(atree)[0])[:1])
-        np.asarray(jnp_.ravel(jax.tree.leaves(dtree)[0])[:1])
+            barrier_tree(atree)
+        barrier_tree(dtree)
+        barrier_tree(models.vocoder_params)
         upload_s = time.monotonic() - t_up
     rng = np.random.default_rng(0)
     # production wrapping prepends id 255; clamp into the vocab for the
@@ -314,20 +327,22 @@ def main() -> int:
         clear_cast_cache()
         # the alt plane needs the float tree; when the plane cache served
         # the headline run, load it now (alt is a parent-only side path)
-        alt_models = models if models_f32 is None and not int8 else None
-        if alt_models is None:
-            if models_f32 is None:
-                os.environ["BENCH_WEIGHTS_CACHE"] = os.environ.get(
-                    "BENCH_WEIGHTS_CACHE", "/tmp/tortoise_bench_weights")
-                from tortoise_tpu.pipeline.synthesize import TortoiseModels
+        if models_f32 is None:
+            os.environ["BENCH_WEIGHTS_CACHE"] = os.environ.get(
+                "BENCH_WEIGHTS_CACHE", "/tmp/tortoise_bench_weights")
+            from tortoise_tpu.pipeline.synthesize import TortoiseModels
 
-                models_f32 = TortoiseModels.random(
-                    seed=0, tiny=small,
-                    cache_dir=os.environ["BENCH_WEIGHTS_CACHE"] or None)
-                models_f32.ar_cfg = models.ar_cfg
-                models_f32.diffusion_cfg = models.diffusion_cfg
-                models_f32.vocoder_cfg = models.vocoder_cfg
-            alt_models = models_f32
+            models_f32 = TortoiseModels.random(
+                seed=0, tiny=small,
+                cache_dir=os.environ["BENCH_WEIGHTS_CACHE"] or None)
+        alt_models = models_f32
+        # the ALT run must execute the same configs as the headline
+        # (flash kernel, knob overrides, vocoder path, small-mode
+        # shrinks) — models_f32 otherwise keeps construction defaults
+        # and the side-by-side numbers compare different programs
+        alt_models.ar_cfg = models.ar_cfg
+        alt_models.diffusion_cfg = models.diffusion_cfg
+        alt_models.vocoder_cfg = models.vocoder_cfg
 
         def run_alt(seed, stage_sync=False):
             t0 = time.monotonic()
@@ -415,8 +430,11 @@ def roofline_stats(models, result, use_bf16: bool,
         n_steps = max(int(result.timings["ar_decode_steps"]), 1)
         ar_ms = result.timings["ar_decode_loop_s"] * 1e3 / n_steps
     else:
-        n_steps = max(len(result.sequences[0]), 1)
-        ar_ms = result.timings["autoregressive_s"] * 1e3 / n_steps
+        # no substage split: the executed step count is unknown
+        # (sequences are PADDED to 502 regardless of where sampling
+        # stopped, so dividing by their length understates ms/step);
+        # report null rather than a fabricated number
+        ar_ms = None
     ar_floor_ms = (ar_bytes + cache_bytes) / HBM_GBPS * 1e3
 
     if result.mel is not None:
@@ -435,8 +453,9 @@ def roofline_stats(models, result, use_bf16: bool,
     diff_s = result.timings["diffusion_s"] / dcfg.n_sample_timesteps
     peak = BF16_FLOPS if use_bf16 else F32_FLOPS
     return {
-        "ar_ms_per_step": round(ar_ms, 3),
-        "ar_hbm_roofline_pct": round(100 * ar_floor_ms / max(ar_ms, 1e-9), 1),
+        "ar_ms_per_step": None if ar_ms is None else round(ar_ms, 3),
+        "ar_hbm_roofline_pct": None if ar_ms is None else round(
+            100 * ar_floor_ms / max(ar_ms, 1e-9), 1),
         "diffusion_ms_per_cfg_step": round(diff_s * 1e3, 2),
         "diffusion_mfu_pct": round(
             100 * eval_flops / max(diff_s, 1e-9) / peak, 1),

@@ -110,11 +110,15 @@ def main(argv=None) -> int:
         voice = args.voice
         if not os.path.exists(voice):
             # bare voice name: resolve against the models dir (the shipped
-            # voices are models/{mol,mouse,notactuallymyself,random}.bin)
-            candidate = os.path.join(args.models, voice + ".bin")
-            if not os.path.exists(candidate):
+            # voices are models/{mol,mouse,notactuallymyself,random}.bin);
+            # try the raw name too so '--voice mol.bin' works from any cwd
+            for candidate in (os.path.join(args.models, voice + ".bin"),
+                              os.path.join(args.models, voice)):
+                if os.path.exists(candidate):
+                    voice = candidate
+                    break
+            else:
                 raise SystemExit(f"voice not found: {args.voice}")
-            voice = candidate
     else:
         # the reference defaults to ../models/mol.bin (README.md:49);
         # synthetic checkpoints have no matching latent file

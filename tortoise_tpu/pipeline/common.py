@@ -83,17 +83,28 @@ def clear_cast_cache() -> None:
     _cast_cache.clear()
 
 
+_CAST_CACHE_MAX = 8  # distinct (tree, backend, plane) entries
+
+
 def cached_cast(params, key, fn):
     """Memoize a param-tree transformation (dtype cast / int8 quantize)
     per (tree identity, backend, key): re-quantizing a few hundred MB of
     weights eagerly on every synthesize() call costs real wall time
     through the remote-TPU tunnel. The cached entry holds the original
     tree, so its id() can't be recycled while the entry is alive; the
-    backend token invalidates entries after clear_backends."""
+    backend token invalidates entries after clear_backends.
+
+    Bounded FIFO (oldest-inserted evicted past _CAST_CACHE_MAX): a
+    long-lived serving process that reloads models or survives backend
+    restarts would otherwise pin every superseded host tree AND its
+    device cast buffers forever — hundreds of MB of HBM per stale
+    entry."""
     full_key = (id(params), backend_token(), key)
     ent = _cast_cache.get(full_key)
     if ent is not None and ent[0] is params:
         return ent[1]
     out = fn(params)
     _cast_cache[full_key] = (params, out)
+    while len(_cast_cache) > _CAST_CACHE_MAX:
+        _cast_cache.pop(next(iter(_cast_cache)))  # dicts preserve order
     return out
