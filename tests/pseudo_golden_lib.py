@@ -37,6 +37,8 @@ DATA_PATH = os.path.join(os.path.dirname(__file__), "data",
 # while a real numerics bend (softmax edit, scale-math bug) still fails.
 TOLERANCES = {
     "ar_decode_int8_": 5e-3,       # int8 weights, f32 activations
+    "fused_decode_": 5e-3,         # bf16+int8 fused kernel, interpret mode
+    # (token picks are integers: any flipped pick blows far past 5e-3)
     "diff_denoise_bf16_flash": 3e-2,   # bf16 + flash attention path
     "packed_kernel_": 1e-5,        # interpret-mode kernel: near-exact f32
 }
@@ -111,6 +113,27 @@ def compute_outputs() -> dict:
         logits8, cache8 = ar.decode_step(
             params8, cfg, cache8, jnp.asarray(toks, jnp.int32), jnp.int32(i))
         out[f"ar_decode_int8_logits_{i}"] = np.asarray(logits8)
+
+    # ---- the FUSED decode+sample kernel (ops/pallas/decode_trunk.py,
+    # interpret mode off-TPU), committed near-exactly: two steps on the
+    # bf16+int8 plane pin the (L, B)-grid trunk math, the in-kernel
+    # double-norm head, AND the in-kernel sampler's picks — a bend in
+    # the block-diagonal attention, the head pack, or the nucleus rule
+    # fails here without any oracle edit. B=2 exercises per-row blocks.
+    import dataclasses as _dcf
+
+    fcfg = _dcf.replace(cfg, fused_decode=True)
+    p16 = cast_matmul_weights(params, jnp.bfloat16, int8=True)
+    _, fcache = ar.prefill(p16, fcfg, text_ids, text_valid, voice,
+                           jnp.bfloat16)
+    ftoks = jnp.asarray((4, 9), jnp.int32)
+    for i, uu in enumerate((0.31, 0.77)):
+        u = jnp.full((2, 1), uu, jnp.float32)
+        ftoks, fcache = ar.decode_sample_step(
+            p16, fcfg, fcache, ftoks, jnp.int32(i), u, jnp.bfloat16)
+        out[f"fused_decode_tokens_{i}"] = np.asarray(ftoks)
+    out["fused_decode_krow"] = np.asarray(
+        fcache.k[:, :, fcache.length - 1, :], np.float32)
 
     # ---- stage 2: one denoiser eval (masked) + posterior update ----
     dcfg = tiny_diffusion_config()
