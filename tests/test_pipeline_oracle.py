@@ -156,6 +156,28 @@ def test_apply_padding_matches_reference_binary(oracle):
         np.testing.assert_array_equal(got, want, err_msg=str(seq[:8]))
 
 
+def test_apply_padding_fuzz_matches_reference_binary(oracle):
+    """200 random sequences (random lengths, 8139 runs sprinkled in)
+    through the compiled reference rule."""
+    from tortoise_tpu.config import ARConfig
+    from tortoise_tpu.pipeline.ar_stage import apply_padding
+
+    cfg = ARConfig()
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        n = int(rng.integers(0, 500))
+        seq = rng.integers(0, 8194, n).tolist()
+        # salt trailing-strip coverage: sometimes end with 8139 runs
+        if n and rng.random() < 0.4:
+            seq += [8139] * int(rng.integers(1, 6))
+            seq = seq[:500]
+        ids = np.asarray(seq, np.int32)
+        want = np.frombuffer(
+            _run(oracle, "pad", len(ids), stdin=ids.tobytes()), "<i4")
+        got = np.asarray(apply_padding(list(seq), cfg), np.int32)
+        np.testing.assert_array_equal(got, want, err_msg=str(seq[:8]))
+
+
 def test_trim_latents_matches_reference_binary(oracle):
     from tortoise_tpu.config import ARConfig
     from tortoise_tpu.pipeline.ar_stage import apply_padding, trim_latents
