@@ -100,14 +100,28 @@ def quantize_cols_host(w):
     before upload ships int8 bytes instead of f32 through the host->device
     link (~4x less; through the remote-TPU tunnel at ~20 MB/s that is tens
     of seconds per GB). Same f32 math and round-half-even as the jnp
-    version, so the two planes are bit-identical."""
+    version, so the two planes are bit-identical.
+
+    Stacked (L, in, out) trees are processed one leading slice at a time
+    into preallocated outputs: whole-array ops on the ~360 MB stacks
+    allocate equally large temporaries per step, which the sandboxed
+    host's page-fault path makes pathologically slow (measured 21 s for
+    a (30, 1024, 3072) stack vs 0.5 s slice-wise — most of the
+    previously documented ~75 s cold-start quantize cost)."""
     import numpy as np
 
     wf = np.asarray(w, np.float32)
-    absmax = np.max(np.abs(wf), axis=-2, keepdims=True)
-    scale = np.maximum(absmax, np.float32(1e-12)) / np.float32(127.0)
-    wq = np.clip(np.rint(wf / scale), -127, 127).astype(np.int8)
-    return wq, scale.astype(np.float32)
+    if wf.ndim <= 2:
+        absmax = np.max(np.abs(wf), axis=-2, keepdims=True)
+        scale = np.maximum(absmax, np.float32(1e-12)) / np.float32(127.0)
+        wq = np.clip(np.rint(wf / scale), -127, 127).astype(np.int8)
+        return wq, scale.astype(np.float32)
+    lead = wf.shape[:-2]
+    wq = np.empty(wf.shape, np.int8)
+    scale = np.empty(lead + (1, wf.shape[-1]), np.float32)
+    for idx in np.ndindex(*lead):
+        wq[idx], scale[idx] = quantize_cols_host(wf[idx])
+    return wq, scale
 
 
 def layer_norm(x, w=None, b=None, eps: float = 1e-5, axis: int = -1):
