@@ -42,8 +42,8 @@ def build_models(small, use_bf16, int8=False):
     """Returns (models, models_f32). With the int8 plane on and a cache
     dir set, the quantized host trees are disk-cached (io/plane_cache):
     a later process memory-maps int8 bytes straight into the device
-    upload — no f32 read (2.8x the bytes), no re-quantization (~75 s of
-    host work at production scale, measured). models_f32 keeps the float
+    upload — no f32 read (2.8x the bytes), no re-quantization (was ~75 s of host
+    work before the slice-wise quantizer; ~4 s now). models_f32 keeps the float
     source for the side-by-side bf16-weights path; it is None when the
     plane cache made loading f32 unnecessary."""
     import jax
