@@ -186,3 +186,31 @@ def test_http_front_end(models, voice):
         httpd.shutdown()
         httpd.server_close()
         server.stop()
+
+
+def test_http_batch_failure_is_500(models, voice, monkeypatch):
+    """A synthesis-side failure surfaces as 500 (retryable), not the 400
+    reserved for the client's own bad input."""
+    def boom(*a, **k):
+        raise RuntimeError("injected synthesis failure")
+
+    monkeypatch.setattr(serve, "synthesize_batch", boom)
+    rng = np.random.default_rng(5)
+    server = serve.SynthesisServer(models, max_batch=2, max_wait_ms=10,
+                                   default_voice=voice).start()
+    httpd = serve.make_http_server(server, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/synthesize",
+                     json.dumps({"tokens": _tokens(rng, 4)}),
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        body = json.loads(r.read())
+        assert r.status == 500 and "injected" in body["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        server.stop(drain=False)
