@@ -107,6 +107,9 @@ def test_native_and_python_encoders_agree(tok):
         "this[SPACE]is[SPACE]a[SPACE]test[SPACE]message.",
         "based...[SPACE]doctor[SPACE]freeman?",
         "x[STOP]y", "", "a~b", "the[SPACE]the",
+        # one regex word encoding to >4096 ids: the native plane must
+        # grow its output buffer, not silently truncate
+        "m" * 5000,
     ]:
         assert native_tok.encode(text) == py_tok.encode(text), text
 
