@@ -300,7 +300,24 @@ def main() -> int:
                     stage_sync=stage_sync, materialize=False)
                 return rs, time.monotonic() - t0
 
-            _, bcompile = run_batch(0)  # warmup/compile
+            # the batched fused plane compiles per (B-bucket) — guard it
+            # like the single-utterance warmup so a Mosaic failure at one
+            # B degrades that entry to the XLA plane instead of losing
+            # the whole benchmark
+            batch_fallback = None
+            saved_cfg = models.ar_cfg
+            try:
+                _, bcompile = run_batch(0)  # warmup/compile
+            except Exception as e:
+                if not models.ar_cfg.fused_decode:
+                    raise
+                batch_fallback = f"{type(e).__name__}: {e}"[:300]
+                print(f"fused decode plane failed at B={bsz}, retrying "
+                      f"on the XLA plane: {batch_fallback}",
+                      file=sys.stderr, flush=True)
+                models.ar_cfg = dataclasses.replace(models.ar_cfg,
+                                                    fused_decode=False)
+                _, bcompile = run_batch(0)
             rs, bwall = run_batch(1)
             rs_sync, _ = run_batch(1, stage_sync=True)
             btotal = sum(len(r.audio) / r.sample_rate for r in rs)

@@ -11,9 +11,12 @@ iterate fastest, so all B rows share each layer's single int8 weight
 fetch): the per-row activation vectors live in a (B, D) VMEM scratch
 carried across grid steps, each (l, b) step streams that layer's weights
 plus ONE row's KV cache slice through VMEM (double-buffered by the
-pipeline), and the only outputs are the fresh per-(layer, row) K/V rows
-and the final hidden state. VMEM need and Mosaic compile time are
-independent of B.
+pipeline), and the only outputs are the fresh per-layer K/V row blocks
+(staged per row in f32 scratch, flushed once per layer) and the final
+hidden state. Per-batch arrays use full-B blocks — Mosaic's trailing
+(8, 128) tiling rule forbids single-row blocks over a B > 1 batch dim —
+so VMEM need grows only by the small (B, ·) vectors and Mosaic compile
+time is independent of B.
 
 Semantics mirror decode_step exactly (reference: the per-token graph
 rebuild at main.cpp:5227-5247, block math at main.cpp:2718-2983):
@@ -65,7 +68,7 @@ def _matvec_q8(y, wq_ref, scale, bias):
 F32_LOWEST = -3.4028235e38
 
 
-def _sample(logits_ref, prev_ref, u_ref, tok_ref, sampler):
+def _sample(logits, prev_ref, u_ref, tok_ref, sampler):
     """In-kernel sampler: repetition penalty -> temperature -> top-k
     (iterative argmax; ~50 VPU passes over the (B, Vp) rows) -> the
     reference's suffix-sum nucleus rule -> inverse-CDF draw against a
@@ -74,9 +77,10 @@ def _sample(logits_ref, prev_ref, u_ref, tok_ref, sampler):
     the kernel that chain costs ~0.19 ms/step of small-fusion overhead.
     The cumulative sums run as (B, K)x(K, K) triangular matmuls — a
     lane-axis cumsum lowers poorly in Mosaic. Every op is row-parallel:
-    B rows sample together in the same passes."""
+    B rows sample together in the same passes (the sampler runs ONCE, at
+    the last (layer, row) grid step)."""
     temperature, top_k, top_p_drop, penalty = sampler
-    x = logits_ref[:]                                   # (B, Vp) f32
+    x = logits                                          # (B, Vp) f32
     bsz, vp = x.shape
     kk = 128                                            # padded k domain
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, vp), 1)
@@ -140,26 +144,32 @@ def _kernel(x_ref, bias_ref,
         (lnfw_ref, lnfb_ref, lmlnw_ref, lmlnb_ref,
          lmw_ref, lms_ref, lmb_ref, prev_ref, u_ref,
          xout_ref, krow_ref, vrow_ref, logits_ref, tok_ref,
-         x_scr) = refs
+         x_scr, k_scr, v_scr) = refs
     elif with_head:
         (lnfw_ref, lnfb_ref, lmlnw_ref, lmlnb_ref,
          lmw_ref, lms_ref, lmb_ref,
-         xout_ref, krow_ref, vrow_ref, logits_ref, x_scr) = refs
+         xout_ref, krow_ref, vrow_ref, logits_ref,
+         x_scr, k_scr, v_scr) = refs
     else:
-        xout_ref, krow_ref, vrow_ref, x_scr = refs
+        xout_ref, krow_ref, vrow_ref, x_scr, k_scr, v_scr = refs
     # grid (L, B), rows fastest: every weight block's index map depends
     # only on l, so the pipeline fetches each layer's weights ONCE and
-    # all B rows ride the same stream; per-(l, bi) blocks (the KV slice,
-    # the fresh-row outputs, the logits) stay single-row, so VMEM need
-    # and Mosaic compile time are independent of B (the earlier per-row
+    # all B rows ride the same stream. Per-batch arrays (x, bias, the
+    # fresh K/V rows, logits, tokens) use FULL-array blocks — Mosaic
+    # requires block last-two dims divisible by (8, 128) or equal to the
+    # array dims, so a (1, D) row block over a (B, D) array is illegal on
+    # real TPU for B > 1 — and the kernel picks its row with the grid id.
+    # Only the per-(l, row) KV-cache slice streams per step, so VMEM need
+    # and Mosaic compile time stay independent of B (the earlier per-row
     # python unroll compiled O(B) bodies and streamed (B, C, HD) KV
     # blocks).
     l = pl.program_id(0)
     bi = pl.program_id(1)
+    bsz = x_ref.shape[0]
 
-    @pl.when(l == 0)
+    @pl.when((l == 0) & (bi == 0))
     def _init():
-        x_scr[bi] = x_ref[0].astype(jnp.float32)
+        x_scr[:] = x_ref[:].astype(jnp.float32)
 
     x = x_scr[bi][None]                              # (1, D) f32
     d = x.shape[-1]
@@ -174,12 +184,22 @@ def _kernel(x_ref, bias_ref,
     y = _layer_norm(x, ln1w_ref[l], ln1b_ref[l], eps)
     qkv = _matvec_q8(y, attnw_ref, attns_ref[l], attnb_ref[l])  # (1, 3D)
     q, k_new, v_new = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
-    krow_ref[0, 0] = k_new[0].astype(krow_ref.dtype)
-    vrow_ref[0, 0] = v_new[0].astype(vrow_ref.dtype)
+    # fresh K/V rows stage through f32 scratch: a dynamic single-sublane
+    # store into the bf16 output block is illegal (bf16 packs 2 sublanes
+    # per word — Mosaic requires the index be provably even); the full
+    # (B, HD) block is flushed in the output dtype once per layer, at the
+    # last row's step
+    k_scr[bi] = k_new[0]
+    v_scr[bi] = v_new[0]
+
+    @pl.when(bi == bsz - 1)
+    def _flush_rows():
+        krow_ref[0] = k_scr[:].astype(krow_ref.dtype)
+        vrow_ref[0] = v_scr[:].astype(vrow_ref.dtype)
 
     k_l = k_ref[0, 0]                                # (C, H*Dh) bf16
     v_l = v_ref[0, 0]
-    bias = bias_ref[:]                               # (1, C) f32 additive
+    bias = bias_ref[bi][None]                        # (1, C) f32 additive
     # Per-head attention via a BLOCK-DIAGONAL head layout: row h of the
     # (H, H*Dh) matrix holds q's head-h slice in its own columns, zeros
     # elsewhere, so ONE (H, HD)x(HD, C) dot yields the per-head score
@@ -218,18 +238,23 @@ def _kernel(x_ref, bias_ref,
 
     x_scr[bi] = x[0]
 
-    @pl.when(l == n_layer - 1)
+    @pl.when((l == n_layer - 1) & (bi == bsz - 1))
     def _fin():
-        xout_ref[0] = x[0]
+        # all rows' post-trunk hiddens are in x_scr once the LAST row of
+        # the LAST layer finishes; emit them (and the head) in one shot —
+        # the (B, D) x (D, Vp) head matmul beats B separate matvecs on
+        # the MXU and the sampler's VPU passes run once, not B times.
+        xs = x_scr[:]                                # (B, D) f32
+        xout_ref[:] = xs
         if with_head:
-            # lm head fused into the final grid steps: the double-norm
-            # chain + the (D, Vp) int8 matvec. Outside the kernel this
+            # lm head fused into the final grid step: the double-norm
+            # chain + the (D, Vp) int8 matmul. Outside the kernel this
             # chain costs ~0.28 ms/step of small-fusion overhead on (1, D)
             # vectors (r3 probe: double-LN 0.128 ms + int8 matvec 0.158);
             # in here it is ~20 us of extra weight streaming. The lm
             # weight uses a fixed BlockSpec, so the pipeline fetches it
             # once per call, not per layer or row.
-            y = _layer_norm(x, lnfw_ref[0], lnfb_ref[0], eps)
+            y = _layer_norm(xs, lnfw_ref[0], lnfb_ref[0], eps)
             y = _layer_norm(y, 1.0, 0.0, eps)
             y = y * lmlnw_ref[0] + lmlnb_ref[0]
             yb = y.astype(jnp.bfloat16)
@@ -244,7 +269,7 @@ def _kernel(x_ref, bias_ref,
                 logits_ref[:, c0:c1] = (
                     acc * lms_ref[0, c0:c1] + lmb_ref[0, c0:c1])
             if sampler is not None:
-                _sample(logits_ref, prev_ref, u_ref, tok_ref, sampler)
+                _sample(logits_ref[:], prev_ref, u_ref, tok_ref, sampler)
 
 
 @functools.partial(
@@ -297,11 +322,17 @@ def fused_decode_trunk(
             (1,) + shape,
             lambda li, bi: (li,) + tuple(0 for _ in range(nd)))
 
-    def per_row(*shape):
+    def per_layer_full_b(*shape):
+        # one layer, ALL rows: (1, B, ...) blocks indexed only by l. The
+        # B dim sits second-to-last for the (L, B, HD) row outputs, where
+        # a per-row block of 1 would break Mosaic's (8, 128) trailing-dim
+        # tiling rule; a full-B block always satisfies "equal to the
+        # array dim" and stays resident across the B fastest-iterating
+        # grid steps (flushed when l advances).
         nd = len(shape)
         return pl.BlockSpec(
-            (1,) + shape,
-            lambda li, bi: (bi,) + tuple(0 for _ in range(nd)))
+            (1, bsz) + shape,
+            lambda li, bi: (li, 0) + tuple(0 for _ in range(nd)))
 
     def per_lb(*shape):
         nd = len(shape)
@@ -313,12 +344,13 @@ def fused_decode_trunk(
     # pipeline (index maps depend only on l — with rows iterating fastest
     # each layer's weights are fetched once for all B rows). Small
     # vectors (LN params, scales, biases): whole (L, ...) arrays resident
-    # in VMEM (~2 MB total), indexed by grid step. Per-(l, row) blocks
-    # (KV slice, fresh rows) are single-row, so VMEM and compile time do
-    # not grow with B.
+    # in VMEM (~2 MB total), indexed by grid step. Per-batch vectors are
+    # full-array blocks (see per_layer_full_b); only the (l, row) KV
+    # slice streams per step, so VMEM and compile time do not grow
+    # meaningfully with B.
     in_specs = [
-        per_row(d),                      # x
-        per_row(c),                      # bias
+        fixed((bsz, d)),                 # x
+        fixed((bsz, c)),                 # bias
         fixed((l, d)), fixed((l, d)),    # ln1 w/b
         per_layer(d, 3 * d), fixed((l, 1, 3 * d)), fixed((l, 3 * d)),
         per_layer(d, d), fixed((l, 1, d)), fixed((l, d)),
@@ -344,9 +376,9 @@ def fused_decode_trunk(
     ]
 
     out_specs = [
-        per_row(d),
-        per_lb(hd),
-        per_lb(hd),
+        fixed((bsz, d)),
+        per_layer_full_b(hd),
+        per_layer_full_b(hd),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((bsz, d), jnp.float32),
@@ -363,12 +395,12 @@ def fused_decode_trunk(
                  head["lm_ln_w"], head["lm_ln_b"],
                  head["lm_wq"], head["lm_sc"], head["lm_b"]]
         if sampler is not None:
-            in_specs += [per_row(1), per_row(1)]
+            in_specs += [fixed((bsz, 1)), fixed((bsz, 1))]
             args += [prev_u[0], prev_u[1]]
-        out_specs.append(per_row(vp))
+        out_specs.append(fixed((bsz, vp)))
         out_shape.append(jax.ShapeDtypeStruct((bsz, vp), jnp.float32))
         if sampler is not None:
-            out_specs.append(per_row(1))
+            out_specs.append(fixed((bsz, 1)))
             out_shape.append(jax.ShapeDtypeStruct((bsz, 1), jnp.int32))
 
     if sampler is not None and sampler[1] > 128:
@@ -391,7 +423,9 @@ def fused_decode_trunk(
         grid=(l, bsz),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((bsz, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bsz, d), jnp.float32),
+                        pltpu.VMEM((bsz, hd), jnp.float32),
+                        pltpu.VMEM((bsz, hd), jnp.float32)],
         out_shape=out_shape,
         interpret=interpret,
         **params,
