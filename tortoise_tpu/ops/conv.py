@@ -66,14 +66,32 @@ def conv1d_nwc(x, w, b=None, stride: int = 1, padding: int = 0,
         k = 2 * padding + 1
         assert stride == 1 and dilation == 1 and groups == 1
         if k == 1:
-            xk = x
+            out = pdot_int8act(x, (wq, scale))
         else:
+            # per-tap accumulation: quantize x ONCE per row, then K
+            # shifted int8 matmuls against the (C_in, C_out) weight
+            # slices, accumulated in f32. vs quantizing the (N, T, K*C_in)
+            # window concat: 1/K the absmax/round/clip VPU work and no
+            # bf16 window materialization; each row also gets its own
+            # scale (slightly MORE accurate than one scale per window).
             pad = (k - 1) // 2
-            xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
             t = x.shape[1]
-            xk = jnp.concatenate([xp[:, j : j + t] for j in range(k)],
-                                 axis=-1)
-        out = pdot_int8act(xk, (wq, scale))
+            absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+            s_row = jnp.maximum(absmax.astype(jnp.float32), 1e-12) / 127.0
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_row),
+                          -127, 127).astype(jnp.int8)
+            # zero pad rows contribute zero regardless of their scale
+            xqp = jnp.pad(xq, ((0, 0), (pad, pad), (0, 0)))
+            srp = jnp.pad(s_row, ((0, 0), (pad, pad), (0, 0)))
+            cin = wq.shape[0] // k
+            wq3 = wq.reshape(k, cin, wq.shape[-1])
+            out = None
+            for j in range(k):
+                acc = jnp.matmul(xqp[:, j : j + t], wq3[j],
+                                 preferred_element_type=jnp.int32)
+                part = acc.astype(jnp.float32) * srp[:, j : j + t]
+                out = part if out is None else out + part
+            out = out * scale
         if out_dtype is not None:
             out = out.astype(out_dtype)
         if b is not None:
