@@ -16,6 +16,14 @@ bound for ALL groupnorm work. If base - gn-affine lands under ~0.5 ms a
 dedicated kernel is not worth its complexity (decision note:
 models/diffusion.py group_norm_tc already uses one-pass stats).
 
+MEASURED (r3, real v5e, T=2304, bf16+flash, device-resident params):
+base 40.30 ms/eval, gn-affine 40.93, gn-skip 40.02 — deltas are under
+1 ms and inside the run-to-run noise of the ~27 ms per-dispatch tunnel
+overhead (single-eval dispatch + 1-element readback; the staged
+80-step loop amortizes this to ~13.6 ms/step compute). DECISION: no
+fused GN Pallas kernel — XLA already fuses the one-pass-stats chain
+into neighboring elementwise work; total GN cost is noise-level.
+
 Usage: python scripts/ubench_gn.py [T] [reps]   (BENCH_SMALL=1 smoke)
 """
 
@@ -57,8 +65,12 @@ def main():
     import dataclasses
 
     cfg = dataclasses.replace(cfg, use_flash=on_tpu)
-    params = quantize_diffusion_weights(
-        random_diffusion_params(cfg, seed=0, fast=True))
+    # device_put ONCE: the quantizer returns host numpy trees, and a jit
+    # call with host operands re-uploads the whole tree every dispatch —
+    # over the shared tunnel that is ~5 s/eval of pure transfer, burying
+    # the ~14 ms compute signal this script exists to split
+    params = jax.device_put(quantize_diffusion_weights(
+        random_diffusion_params(cfg, seed=0, fast=True)))
 
     rng = np.random.default_rng(0)
     b = 2  # CFG batch
