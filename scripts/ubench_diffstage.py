@@ -33,6 +33,12 @@ import dataclasses
 cfg = DiffusionConfig()
 if jax.default_backend() == "tpu":
     cfg = dataclasses.replace(cfg, use_flash=True)
+# script-level knob overrides for sweeps (config stays the source of
+# truth in the library; UB_* env reads live only in scripts/)
+if os.environ.get("UB_HPP"):
+    cfg = dataclasses.replace(cfg, flash_hpp=int(os.environ["UB_HPP"]))
+if os.environ.get("UB_BQ"):
+    cfg = dataclasses.replace(cfg, flash_bq=int(os.environ["UB_BQ"]))
 params = ensure_device(random_diffusion_params(cfg, seed=1))
 rng = np.random.default_rng(0)
 L = 500

@@ -28,12 +28,12 @@ B, H, T, D = 2, 16, 2176, 64
 N = 10
 
 
-def make_loop(bq, use_mask):
+def make_loop(bq, use_mask, hpp=2):
     @jax.jit
     def loop(qkv, mask, table):
         def body(c, _):
             out = flash_attention_packed(c, H, mask, bias_table=table,
-                                         bq=bq)
+                                         bq=bq, hpp=hpp)
             # feed back so the scan can't hoist the call
             nxt = jnp.concatenate([out, out, out], axis=-1) * 0.5 + c * 0.5
             return nxt, None
@@ -144,17 +144,18 @@ def main():
 
     for bq in (128, 256, 512):
         for use_mask in (True, False):
-            fn = make_loop(bq, use_mask)
-            try:
-                ms, calls = device_profile(
-                    fn, qkv, mask if use_mask else None, table,
-                    outdir=f"/tmp/jt_packed_{bq}_{use_mask}")
-                print(f"packed bq={bq} mask={use_mask}: "
-                      f"{ms/max(calls,1):7.3f} ms/call ({calls} calls)",
-                      flush=True)
-            except Exception as e:
-                print(f"packed bq={bq} mask={use_mask}: FAIL "
-                      f"{type(e).__name__} {str(e)[:120]}", flush=True)
+            for hpp in (2, 4):
+                fn = make_loop(bq, use_mask, hpp)
+                try:
+                    ms, calls = device_profile(
+                        fn, qkv, mask if use_mask else None, table,
+                        outdir=f"/tmp/jt_packed_{bq}_{use_mask}_{hpp}")
+                    print(f"packed bq={bq} mask={use_mask} hpp={hpp}: "
+                          f"{ms/max(calls,1):7.3f} ms/call ({calls} calls)",
+                          flush=True)
+                except Exception as e:
+                    print(f"packed bq={bq} mask={use_mask} hpp={hpp}: FAIL "
+                          f"{type(e).__name__} {str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":

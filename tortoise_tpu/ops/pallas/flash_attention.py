@@ -119,6 +119,10 @@ def _attn_kernel_rowblock(q_ref, k_ref, v_ref, band_ref, scal_ref, mask_ref,
     maskrow = mask_ref[0, 0][None, :] if have_mask else None
 
     for g in range(n_heads):
+        # alternate scratch buffers per head — breaks the false
+        # dependency serializing head g's softmax (VPU) against head
+        # g+1's score matmul (MXU); see _attn_kernel_packed
+        sb = g & 1
         q = q_ref[0, g]                       # (BQ, D) native dtype
         k = k_ref[0, g]                       # (T_kv, D)
         v = v_ref[0, g]
@@ -131,9 +135,9 @@ def _attn_kernel_rowblock(q_ref, k_ref, v_ref, band_ref, scal_ref, mask_ref,
             jnp.where(cols >= (qi + 2) * bq, c_r, 0.0))
         if have_mask:
             fill = fill + maskrow
-        s_ref[:, bq : bq + t_kv] = s + fill
-        s_ref[:, pl.ds(qi * bq, 3 * bq)] += band_ref[g]
-        s = s_ref[:, bq : bq + t_kv]
+        s_ref[sb, :, bq : bq + t_kv] = s + fill
+        s_ref[sb, :, pl.ds(qi * bq, 3 * bq)] += band_ref[g]
+        s = s_ref[sb, :, bq : bq + t_kv]
         m = jnp.max(s, axis=-1, keepdims=True)
         # scores are in the log2 domain (caller folded log2(e) into the q
         # scale and the bias terms): exp2 saves a VPU multiply pass
@@ -192,7 +196,7 @@ def _grouped_flash(qp, kp, vp, band, scalars, maskp, *, bq, bk, tq, tkv,
         out_specs=pl.BlockSpec((1, group, bq, d),
                                lambda bi, hg, qi: (bi, hg, qi, 0)),
         out_shape=jax.ShapeDtypeStruct(qp.shape, qp.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, tkv + 2 * bq), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, bq, tkv + 2 * bq), jnp.float32)],
         interpret=interpret,
         **params,
     )(*args)
@@ -216,6 +220,12 @@ def _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref, mask_ref,
     # (bool `where` on the scores costs ~3x the whole kernel)
     maskrow = mask_ref[0, 0][None, :] if have_mask else None
     for g in range(hpp):
+        # double-buffered score scratch: alternating buffers break the
+        # false write-after-read dependency between consecutive heads'
+        # softmax (VPU) and QK/PV matmuls (MXU), letting Mosaic overlap
+        # head g's softmax with head g+1's score matmul — the two units
+        # otherwise serialize through the single shared buffer
+        sb = g & 1
         # scale carries a folded log2(e): scores live in the log2 domain
         # so the softmax uses exp2 directly (one fewer VPU pass than exp);
         # the bias band/scalars/mask arrive pre-scaled by the caller
@@ -231,9 +241,9 @@ def _attn_kernel_packed(qrow_ref, kv_ref, band_ref, scal_ref, mask_ref,
             jnp.where(cols >= (qi + 2) * bq, c_r, 0.0))
         if have_mask:
             fill = fill + maskrow
-        s_ref[:, bq : bq + t_kv] = s + fill
-        s_ref[:, pl.ds(qi * bq, 3 * bq)] += band_ref[g]
-        s = s_ref[:, bq : bq + t_kv]
+        s_ref[sb, :, bq : bq + t_kv] = s + fill
+        s_ref[sb, :, pl.ds(qi * bq, 3 * bq)] += band_ref[g]
+        s = s_ref[sb, :, bq : bq + t_kv]
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -364,7 +374,9 @@ def flash_attention_packed(
         out_specs=pl.BlockSpec((1, bq, hpp * d),
                                lambda bi, hg, qi: (bi, qi, hg)),
         out_shape=jax.ShapeDtypeStruct((b, tp, n_head * d), qkv.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, tp + 2 * bq), jnp.float32)],
+        # 2 buffers: heads alternate so MXU/VPU phases of consecutive
+        # heads can overlap (see _attn_kernel_packed)
+        scratch_shapes=[pltpu.VMEM((2, bq, tp + 2 * bq), jnp.float32)],
         interpret=interpret,
         **params,
     )(*args)
