@@ -125,6 +125,37 @@ def build_models(small, use_bf16, int8=False):
     return models, models_f32
 
 
+def checked_sync(run_sync, max_tries: int = 3):
+    """Run a stage-synced pass and verify the decomposition is
+    self-consistent: the top-level stage walls (autoregressive_s +
+    diffusion_s + vocoder_s) must sum to within 25% of the pass's own
+    wall. A recompile or tunnel stall inside one sync pass otherwise
+    ships a garbage decomposition in the artifact (BENCH_r03's batched
+    B=8 entry summed to 21.1 s against a 10.8 s wall). Retries up to
+    max_tries, keeps the most consistent pass, and reports the retry
+    count + final verdict so the artifact discloses what happened.
+
+    run_sync() -> (timings_dict, wall_s, payload). Returns
+    (payload, timings, wall, {"sync_retries": n, "sync_consistent": ok}).
+    """
+    top = ("autoregressive_s", "diffusion_s", "vocoder_s")
+    best = None
+    for attempt in range(max_tries):
+        timings, wall, payload = run_sync()
+        ssum = sum(timings.get(k, 0.0) for k in top)
+        err = abs(ssum - wall) / max(wall, 1e-9)
+        if best is None or err < best[0]:
+            best = (err, timings, wall, payload)
+        if err <= 0.25:
+            return payload, timings, wall, {
+                "sync_retries": attempt, "sync_consistent": True}
+        print(f"stage-sync decomposition inconsistent (sum {ssum:.2f}s vs "
+              f"wall {wall:.2f}s), retrying", file=sys.stderr, flush=True)
+    err, timings, wall, payload = best
+    return payload, timings, wall, {
+        "sync_retries": max_tries - 1, "sync_consistent": False}
+
+
 def main() -> int:
     small = os.environ.get("BENCH_SMALL") == "1"
     use_bf16 = os.environ.get("BENCH_F32") != "1"
@@ -244,11 +275,13 @@ def main() -> int:
     # the async device-handoff path defers stage completion to the next
     # stage's first use; the per-stage split comes from stage-synced
     # passes, reported with its own wall (sync_wall_s) so the
-    # decomposition adds up within one execution
-    syncs = [run(1, stage_sync=True) for _ in range(2)]
-    (best, sync_wall) = min(
-        syncs, key=lambda rw: sum(v for k, v in rw[0].timings.items()
-                                  if k.endswith("_s")))
+    # decomposition adds up within one execution — verified by
+    # checked_sync (retries on recompile/tunnel-stall contamination)
+    def run_sync():
+        res, wall = run(1, stage_sync=True)
+        return res.timings, wall, res
+
+    best, _, sync_wall, sync_meta = checked_sync(run_sync)
     result = dataclasses.replace(result, timings=best.timings)
 
     audio_s = len(result.audio) / result.sample_rate
@@ -271,6 +304,7 @@ def main() -> int:
         "device": device,
         "bf16": use_bf16,
     }
+    line.update(sync_meta)
     line["int8_weights"] = int8
     if fused_fallback:
         line["fused_fallback"] = fused_fallback
@@ -319,7 +353,13 @@ def main() -> int:
                                                     fused_decode=False)
                 _, bcompile = run_batch(0)
             rs, bwall = run_batch(1)
-            rs_sync, _ = run_batch(1, stage_sync=True)
+
+            def run_batch_sync():
+                bres, w = run_batch(1, stage_sync=True)
+                return bres[0].timings, w, bres
+
+            rs_sync, btim, bsync_wall, bsync_meta = checked_sync(
+                run_batch_sync)
             btotal = sum(len(r.audio) / r.sample_rate for r in rs)
             line["batched"][str(bsz)] = {
                 "batch": bsz,
@@ -327,10 +367,16 @@ def main() -> int:
                 "audio_s_total": round(btotal, 3),
                 "aggregate_rtf": round(bwall / max(btotal, 1e-9), 5),
                 "first_run_s": round(bcompile, 3),
-                "stages_s": {k: round(v, 3)
-                             for k, v in rs_sync[0].timings.items()
+                "stages_s": {k: round(v, 3) for k, v in btim.items()
                              if k.endswith("_s")},
+                "sync_wall_s": round(bsync_wall, 3),
+                **bsync_meta,
             }
+            if batch_fallback:
+                line["batched"][str(bsz)]["fused_fallback"] = batch_fallback
+                # the fallback is per-B: restore the fused plane so later
+                # batch sizes and the alt path still try it
+                models.ar_cfg = saved_cfg
 
     # the non-headline AR weight plane, side by side (decode is the only
     # stage the weight dtype changes). Runs AFTER the batch sweep, with

@@ -143,6 +143,15 @@ def main():
                   f"{str(e)[:120]}", flush=True)
 
     for bq in (128, 256, 512):
+        # the double-buffered score scratch alone is 2*bq*(Tp+2*bq)*4 B;
+        # skip configs where it can't fit the 16 MB VMEM ceiling so a
+        # FAIL row always means a regression, not a known-impossible size
+        tp = -(-T // bq) * bq
+        scratch_mb = 2 * bq * (tp + 2 * bq) * 4 / 2**20
+        if scratch_mb > 15:
+            print(f"packed bq={bq}: SKIP (score scratch {scratch_mb:.1f} "
+                  f"MB alone exceeds VMEM)", flush=True)
+            continue
         for use_mask in (True, False):
             for hpp in (2, 4):
                 fn = make_loop(bq, use_mask, hpp)

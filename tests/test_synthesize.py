@@ -192,6 +192,33 @@ def test_cli_seed_defaults_to_wall_clock(monkeypatch, tmp_path):
     assert all(isinstance(s, int) for s in seeds)
 
 
+def test_cli_raw_tokens(monkeypatch, tmp_path):
+    """--tokens bypasses the tokenizer and passes the ids verbatim (the
+    reference's parse_tokens_from_string path, common.cpp:341-351)."""
+    from tortoise_tpu import cli
+
+    seen = []
+    real_synth = synthesize
+
+    def spy(models, **kw):
+        seen.append(kw["tokens"])
+        return real_synth(models, **kw)
+
+    monkeypatch.setattr("tortoise_tpu.pipeline.synthesize.synthesize", spy)
+    out = str(tmp_path / "t.wav")
+    cli.main(["--random-weights", "--tiny", "--no-progress", "--seed", "4",
+              "--diffusion-steps", "2", "--tokens", "4, 5,6,7,0",
+              "--output", out])
+    assert seen == [[4, 5, 6, 7, 0]]
+    audio, rate = read_wav(out)
+    assert rate == 24000 and len(audio) > 0
+
+    with pytest.raises(SystemExit):
+        cli.main(["--random-weights", "--tiny", "--tokens", "4,x,0"])
+    with pytest.raises(SystemExit):
+        cli.main(["--random-weights", "--tiny", "--tokens", " , "])
+
+
 def test_device_path_matches_legacy(models):
     """The device-resident stage handoff (progress=None) must produce the
     same audio/mel as the legacy host-boundary path (forced via a progress

@@ -23,6 +23,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--message", default="this is a test message.",
                    help="text to synthesize")
+    p.add_argument("--tokens", default=None,
+                   help="raw comma-separated text token ids, bypassing the "
+                        "tokenizer — the full wrapped sequence including "
+                        "the 255 prefix and 0 suffix, exactly what the "
+                        "reference's parse_tokens_from_string consumes "
+                        "(common.cpp:341-351, main.cpp:5049-5063); "
+                        "overrides --message")
     p.add_argument("--messages-file", default=None,
                    help="file with one message per line: synthesize all of "
                         "them as one batched computation; outputs get a "
@@ -194,7 +201,17 @@ def main(argv=None) -> int:
         return 0
 
     tokens = None
-    if models.tokenizer is None:
+    if args.tokens is not None:
+        # raw-id path (reference parse_tokens_from_string semantics): the
+        # ids are used verbatim — no [SPACE] replacement, no 255/0 wrap
+        try:
+            tokens = [int(t) for t in args.tokens.split(",") if t.strip()]
+        except ValueError:
+            raise SystemExit(f"--tokens must be comma-separated integers, "
+                             f"got {args.tokens!r}")
+        if not tokens:
+            raise SystemExit("--tokens parsed to an empty id list")
+    elif models.tokenizer is None:
         # tiny random models have no meaningful vocab; make stand-in tokens
         tokens = standin_tokens(np.random.default_rng(args.seed), 8)
         print("warning: no tokenizer.json; using stand-in tokens",

@@ -107,10 +107,13 @@ def _attn_kernel_rowblock(q_ref, k_ref, v_ref, band_ref, scal_ref, mask_ref,
     saturates for |j-i| >= max_distance, so it collapses to a per-head
     (BQ, 3*BQ) band patch around the diagonal plus two far constants.
 
-    s_ref: (BQ, T_kv + 2*BQ) f32 scratch. The band patch always lands at
-    columns [qi*BQ, qi*BQ + 3BQ) of the padded scratch (key j lives at
-    column j + BQ), so edge query blocks write their out-of-range band
-    thirds into the never-read pad margins instead of branching."""
+    s_ref: (2, BQ, T_kv + 2*BQ) f32 scratch — two buffers, heads
+    alternating between them (sb = g & 1) so head g's softmax (VPU) can
+    overlap head g+1's score matmul (MXU) instead of serializing through
+    one shared buffer. The band patch always lands at columns
+    [qi*BQ, qi*BQ + 3BQ) of the padded scratch (key j lives at column
+    j + BQ), so edge query blocks write their out-of-range band thirds
+    into the never-read pad margins instead of branching."""
     qi = pl.program_id(2)
     hg = pl.program_id(1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t_kv), 1)
@@ -478,10 +481,12 @@ def flash_attention(
         # off-band bias tiles collapse to per-head constants
         from tortoise_tpu.ops.relpos import relpos_bias_band
 
-        # VMEM budget: k/v + band patch + score scratch per program is
-        # ~4.4 MB/head-pair at T~2300; group=2 (the default) keeps the
-        # double-buffered total under ~9 MB (group=4 brushes the 16 MB
-        # ceiling)
+        # VMEM budget at T~2300, bq=128, bf16 kv (with the (2, BQ, T+2BQ)
+        # double score scratch = 2.6 MB): group=2 needs ~2.4 MB of
+        # double-buffered k/v blocks + 0.8 MB band + scratch ~= 6 MB;
+        # group=4 doubles k/v+band to ~6.3 MB -> ~9 MB total. Larger bq
+        # scales the scratch linearly (bq=512 alone is ~14.7 MB — over
+        # the 16 MB ceiling; ubench_packed_kernel caps its sweep there)
         while h % group:
             group //= 2
         band, scalars = relpos_bias_band(
