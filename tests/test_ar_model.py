@@ -228,6 +228,61 @@ def test_bf16_mode_close_to_f32(setup):
     np.testing.assert_allclose(np.asarray(lbf), np.asarray(l32), atol=0.15)
 
 
+def test_flash_prefill_matches_xla(setup):
+    """The causal flash kernel (interpret mode off-TPU) must reproduce the
+    XLA materialized-score attention on the bf16 plane, including masked
+    text padding and the primed KV cache + latent pass."""
+    import dataclasses
+
+    cfg, params, text_ids, voice = setup
+    b, t = text_ids.shape
+    pad = 4
+    padded = np.concatenate([text_ids, np.zeros((b, pad), np.int32)], axis=1)
+    valid = np.concatenate(
+        [np.ones((b, t), bool), np.zeros((b, pad), bool)], axis=1)
+    assert cfg.flash_prefill  # default-allowed
+    # the production gate is size-based (B*S*S >= flash_prefill_min_score,
+    # measured crossover scripts/ubench_prefill.py); force it for the
+    # tiny test shapes and check the default gate stays off here
+    assert not ar.flash_prefill_on(cfg, jnp.bfloat16, False,
+                                   text_ids.shape)
+    cfg = dataclasses.replace(cfg, flash_prefill_min_score=0)
+    cfg_off = dataclasses.replace(cfg, flash_prefill=False)
+
+    lf, cf = ar.prefill(params, cfg, jnp.asarray(padded), jnp.asarray(valid),
+                        jnp.asarray(voice), compute_dtype=jnp.bfloat16)
+    lx, cx = ar.prefill(params, cfg_off, jnp.asarray(padded),
+                        jnp.asarray(valid), jnp.asarray(voice),
+                        compute_dtype=jnp.bfloat16)
+    # both planes run bf16 matmuls; they differ only in softmax evaluation
+    # order (online vs materialized, both f32)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lx), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(cf.k, np.float32),
+                               np.asarray(cx.k, np.float32), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(cf.v, np.float32),
+                               np.asarray(cx.v, np.float32), atol=5e-2)
+    assert bool((cf.valid == cx.valid).all())
+
+    m = 8
+    mel_ids = np.random.default_rng(5).integers(
+        0, cfg.n_mel_vocab, (b, m)).astype(np.int32)
+    gf = ar.latent_forward(params, cfg, jnp.asarray(padded),
+                           jnp.asarray(valid), jnp.asarray(mel_ids),
+                           jnp.asarray(voice), compute_dtype=jnp.bfloat16)
+    gx = ar.latent_forward(params, cfg_off, jnp.asarray(padded),
+                           jnp.asarray(valid), jnp.asarray(mel_ids),
+                           jnp.asarray(voice), compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=5e-2)
+
+    # the f32 parity plane must be bit-identical regardless of the knob
+    # (flash only engages at bf16)
+    p32f, _ = ar.prefill(params, cfg, jnp.asarray(padded),
+                         jnp.asarray(valid), jnp.asarray(voice))
+    p32x, _ = ar.prefill(params, cfg_off, jnp.asarray(padded),
+                         jnp.asarray(valid), jnp.asarray(voice))
+    np.testing.assert_array_equal(np.asarray(p32f), np.asarray(p32x))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = tiny_ar_config()
     tensors = random_ggml_tensors(ar_tensor_inventory(cfg), seed=5)

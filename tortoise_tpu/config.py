@@ -45,6 +45,20 @@ class ARConfig:
     # int8 + bfloat16 production plane at small batch; the f32 parity
     # path never dispatches to it.
     fused_decode: bool = True
+    # causal flash attention (ops/pallas/flash_attention.py) for the
+    # full-sequence prefill/latent passes on the bf16/int8 planes: the
+    # XLA form materializes (B, H, S, S) f32 scores per scanned layer
+    # (~2 GB transient at B=16, S~930). The f32 parity plane always
+    # keeps the exact XLA softmax.
+    flash_prefill: bool = True
+    # engage the flash kernel only when the per-layer score block it
+    # replaces is big enough to beat XLA's fused form: B*S*S >= this.
+    # Measured on v5e (scripts/ubench_prefill.py, S~535 latent pass):
+    # B=4 XLA wins 16.3 vs 18.6 ms, B=8 flash wins 33.8 vs 38.4,
+    # B=16 flash wins 64.9 vs 80.8; the short prefill pass (S~66, padded
+    # to the kernel's 128 block) always favors XLA. Tests set 0 to force
+    # the kernel on tiny shapes.
+    flash_prefill_min_score: int = 2_000_000
 
     @property
     def d_head(self) -> int:

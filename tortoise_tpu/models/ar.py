@@ -81,17 +81,77 @@ def _attn_out(block, ctx, x_res, cfg: ARConfig, compute_dtype):
     """Merge heads, project, add residual, then MLP block."""
     b, h, s, dh = ctx.shape
     merged = ctx.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
-    attn = pdot(merged, block["proj_w"], compute_dtype) + block["proj_b"]
-    x = x_res + attn
+    return _attn_out_merged(block, merged, x_res, cfg, compute_dtype)
+
+
+def _attn_out_merged(block, merged, x_res, cfg: ARConfig, compute_dtype):
+    """Project pre-merged (B, S, H*Dh) context, residual, MLP block.
+
+    The carry stays in x_res's dtype: prefill/latent_forward cast the
+    embeddings to the compute dtype on the bf16/int8 planes, halving the
+    full-sequence passes' elementwise traffic (the same design the
+    denoiser trunk uses; ~30 layers x ~10 passes over a 35 MB f32 carry
+    at B=16 cost ~25 ms of the latent wall). The f32 parity plane is
+    untouched (compute_dtype=None keeps everything f32)."""
+    od = x_res.dtype if compute_dtype is not None else None
+    attn = pdot(merged, block["proj_w"], compute_dtype, out_dtype=od)
+    x = x_res + (attn + block["proj_b"].astype(attn.dtype))
     y = layer_norm(x, block["ln2_w"], block["ln2_b"], cfg.ln_eps)
-    y = gelu(pdot(y, block["fc_w"], compute_dtype) + block["fc_b"])
-    y = pdot(y, block["fc_proj_w"], compute_dtype) + block["fc_proj_b"]
-    return x + y
+    y = pdot(y, block["fc_w"], compute_dtype, out_dtype=od)
+    y = gelu(y + block["fc_b"].astype(y.dtype))
+    y = pdot(y, block["fc_proj_w"], compute_dtype, out_dtype=od)
+    return x + (y + block["fc_proj_b"].astype(y.dtype))
 
 
-def _block_full(block, x, bias, cfg: ARConfig, compute_dtype, qkv_f16=False):
-    """One GPT-2 block over a full sequence. bias: (B|1, 1, S, S) additive."""
+def flash_prefill_on(cfg: ARConfig, compute_dtype, qkv_f16: bool,
+                     shape, have_valid: bool = True) -> bool:
+    """True when the full-sequence passes take the packed causal flash
+    kernel: bf16/int8 planes only (f32 parity and the qkv_f16
+    reproduction plane keep the exact XLA softmax), the head layout
+    must satisfy the kernel's lane rule on real TPU, and the (B, S)
+    score block must be big enough to beat XLA's fused materialized
+    form (cfg.flash_prefill_min_score; measured crossover between B=4
+    and B=8 at the latent pass's S~535 — see config.py)."""
+    if not (cfg.flash_prefill and not qkv_f16
+            and compute_dtype == jnp.bfloat16 and have_valid):
+        return False
+    b, s = shape
+    if b * s * s < cfg.flash_prefill_min_score:
+        return False
+    if cfg.n_head % 2:
+        return False
+    if jax.default_backend() == "tpu" and (2 * cfg.d_head) % 128:
+        return False
+    return True
+
+
+def _block_full(block, x, bias, cfg: ARConfig, compute_dtype, qkv_f16=False,
+                seq_valid=None, use_flash=False):
+    """One GPT-2 block over a full sequence. bias: (B|1, 1, S, S) additive;
+    seq_valid: (B, S) bool (only consumed by the flash path, which applies
+    causal+validity masking in-kernel instead of streaming the bias).
+
+    Returns (hidden, (k, v)) with k/v in the PACKED (B, S, H*Dh) cache
+    layout on the flash path (sliced straight off the fused qkv — no 5D
+    transposes anywhere) and (B, H, S, Dh) on the XLA path."""
     y = layer_norm(x, block["ln1_w"], block["ln1_b"], cfg.ln_eps)
+    if use_flash:
+        # bf16/int8 planes: one exact-softmax row-block kernel straight
+        # off the fused qkv (ops/pallas/flash_attention.py) instead of
+        # materializing (B, H, S, S) f32 scores
+        from tortoise_tpu.ops.pallas.flash_attention import (
+            flash_attention_causal_qkv,
+        )
+
+        hd = cfg.n_head * cfg.d_head
+        qkv = pdot(y, block["attn_w"], compute_dtype,
+                   out_dtype=compute_dtype)
+        qkv = qkv + block["attn_b"].astype(qkv.dtype)
+        merged = flash_attention_causal_qkv(
+            qkv, cfg.n_head, seq_valid,
+            interpret=jax.default_backend() != "tpu")
+        kv = (qkv[:, :, hd : 2 * hd], qkv[:, :, 2 * hd :])
+        return _attn_out_merged(block, merged, x, cfg, compute_dtype), kv
     q, k, v = _qkv(block, y, cfg, compute_dtype, qkv_f16)
     scores = pdot(q, k.swapaxes(-1, -2), compute_dtype) / jnp.sqrt(
         jnp.float32(cfg.d_head)
@@ -102,15 +162,20 @@ def _block_full(block, x, bias, cfg: ARConfig, compute_dtype, qkv_f16=False):
 
 
 def transformer(params, x, bias, cfg: ARConfig, compute_dtype=None,
-                qkv_f16: bool = False,
+                qkv_f16: bool = False, seq_valid=None,
                 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Run the 30-layer trunk over a full sequence via lax.scan.
 
-    Returns hidden states and per-layer (k, v) stacked (L, B, H, S, Dh).
+    Returns hidden states and per-layer (k, v) stacked — (L, B, S, H*Dh)
+    packed when flash_prefill_on (see _block_full), else
+    (L, B, H, S, Dh).
     """
+    use_flash = flash_prefill_on(cfg, compute_dtype, qkv_f16,
+                                 x.shape[:2], seq_valid is not None)
 
     def step(x, block):
-        x, kv = _block_full(block, x, bias, cfg, compute_dtype, qkv_f16)
+        x, kv = _block_full(block, x, bias, cfg, compute_dtype, qkv_f16,
+                            seq_valid, use_flash)
         return x, kv
 
     x, kvs = jax.lax.scan(step, x, params["blocks"])
@@ -178,19 +243,24 @@ def prefill(params, cfg: ARConfig, text_ids: jax.Array,
         jnp.zeros((b, 1), jnp.int32),
     )
     x = jnp.concatenate([voice[:, None, :], text, start], axis=1)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)  # bf16 carry (see _attn_out_merged)
     seq_valid = jnp.concatenate(
         [jnp.ones((b, 1), bool), text_valid, jnp.ones((b, 1), bool)], axis=1
     )
     bias = _causal_bias(seq_valid)
-    h, (ks, vs) = transformer(params, x, bias, cfg, compute_dtype, qkv_f16)
+    h, (ks, vs) = transformer(params, x, bias, cfg, compute_dtype, qkv_f16,
+                              seq_valid=seq_valid)
     logits = _head(params, h[:, -1:, :], cfg, compute_dtype)[:, 0, :]
 
     s = x.shape[1]
     cache_dtype = compute_dtype or jnp.float32
     l_, b_ = ks.shape[0], ks.shape[1]
-    # (L, B, H, S, Dh) -> (L, B, S, H*Dh) packed cache layout
-    ks = ks.transpose(0, 1, 3, 2, 4).reshape(l_, b_, s, -1)
-    vs = vs.transpose(0, 1, 3, 2, 4).reshape(l_, b_, s, -1)
+    if not flash_prefill_on(cfg, compute_dtype, qkv_f16, (b, s)):
+        # (L, B, H, S, Dh) -> (L, B, S, H*Dh) packed cache layout (the
+        # flash path already emits packed rows sliced off the fused qkv)
+        ks = ks.transpose(0, 1, 3, 2, 4).reshape(l_, b_, s, -1)
+        vs = vs.transpose(0, 1, 3, 2, 4).reshape(l_, b_, s, -1)
     pad = [(0, 0)] * 2 + [(0, cfg.cache_len - s), (0, 0)]
     k = jnp.pad(ks.astype(cache_dtype), pad)
     v = jnp.pad(vs.astype(cache_dtype), pad)
@@ -415,11 +485,14 @@ def latent_forward(params, cfg: ARConfig, text_ids: jax.Array,
     mel_pos = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (b, m))
     mel = _embed_mel(params, mel_ids, mel_pos)
     x = jnp.concatenate([voice[:, None, :], text, mel], axis=1)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)  # bf16 carry (see _attn_out_merged)
     seq_valid = jnp.concatenate(
         [jnp.ones((b, 1), bool), text_valid, jnp.ones((b, m), bool)], axis=1
     )
     bias = _causal_bias(seq_valid)
-    h, _ = transformer(params, x, bias, cfg, compute_dtype, qkv_f16)
+    h, _ = transformer(params, x, bias, cfg, compute_dtype, qkv_f16,
+                       seq_valid=seq_valid)
     h = _latent_head(params, h, cfg)
     # latents live at the 500 positions starting at the start-mel slot
     return jax.lax.dynamic_slice_in_dim(h, 1 + t, m - 2, axis=1)

@@ -48,7 +48,8 @@ def pdot(x: jax.Array, w, compute_dtype=None, out_dtype=None) -> jax.Array:
         cd = compute_dtype or jnp.float32
         out = jnp.matmul(x.astype(cd), wq.astype(cd),
                          preferred_element_type=jnp.float32)
-        return out * scale
+        out = out * scale
+        return out.astype(out_dtype) if out_dtype is not None else out
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)

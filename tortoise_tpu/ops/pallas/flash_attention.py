@@ -386,6 +386,134 @@ def flash_attention_packed(
     return out[:, :t, :]
 
 
+def _attn_kernel_causal_packed(qrow_ref, krow_ref, vrow_ref, mask_ref,
+                               out_ref, s_ref, *, bq: int, t_kv: int,
+                               d: int, scale: float, have_mask: bool,
+                               hpp: int):
+    """Causal row-block attention over head-sliced views of a PART-MAJOR
+    packed (B, T, 3*H*D) qkv tensor (c = part*H*D + h*D + d — the AR
+    trunk's fused qkv layout, unlike the diffusion kernel's per-head
+    interleave). One full (BQ, T) score block per head per program: one
+    MXU call, one exact softmax, one P@V matmul — the online-softmax
+    variant is fori_loop-overhead bound at these shapes (measured +31%
+    vs the XLA scores at B=16, S=535; this kernel is the win).
+
+    qrow/krow/vrow are three views of the SAME qkv array selected by
+    block index maps (q at block column hg, k at nhg+hg, v at 2*nhg+hg),
+    so XLA never materializes (B, T, H, 3, D) -> (B, H, T, D) transposes.
+    s_ref: (2, BQ, T) f32 double-buffered score scratch (heads alternate,
+    overlapping head g's softmax with g+1's matmul). Scores live in the
+    log2 domain (scale folds log2(e)); causal+validity masking is one
+    shared additive f32 fill."""
+    qi = pl.program_id(2)
+    rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, t_kv), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t_kv), 1)
+    fill = jnp.where(cols <= rows, 0.0, NEG_INF)
+    if have_mask:
+        fill = fill + mask_ref[0, 0][None, :]
+    for g in range(hpp):
+        sb = g & 1
+        q = qrow_ref[0][:, d * g : d * (g + 1)] \
+            * jnp.asarray(scale, qrow_ref.dtype)
+        k = krow_ref[0][:, d * g : d * (g + 1)]
+        v = vrow_ref[0][:, d * g : d * (g + 1)]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s_ref[sb] = s + fill
+        s = s_ref[sb]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jnp.dot(p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+        out_ref[0, :, d * g : d * (g + 1)] = (
+            ctx / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "scale", "bq", "hpp", "interpret"),
+)
+def flash_attention_causal_qkv(
+    qkv: jax.Array,
+    n_head: int,
+    kv_valid: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    bq: int = 128,
+    hpp: int = 2,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal masked attention STRAIGHT off the AR trunk's fused qkv
+    matmul. qkv: (B, T, 3*H*D) part-major ([all q | all k | all v], each
+    part h*D + d). kv_valid: (B, T) bool. Returns the merged context
+    (B, T, H*D) in qkv's dtype, ready for the output projection.
+
+    Replaces the (B, H, S, S) f32 score materialization of the XLA form
+    in models/ar.py prefill/latent (main.cpp:2053-2519's graphs) on the
+    bf16/int8 planes. hpp heads/program must keep hpp*D a lane multiple
+    (%128) on real TPU."""
+    b, t, c3 = qkv.shape
+    d = c3 // (3 * n_head)
+    if n_head % hpp:
+        raise ValueError(f"hpp={hpp} must divide n_head={n_head}")
+    if not interpret and (hpp * d) % 128:
+        raise ValueError(f"hpp*D = {hpp * d} must be a lane multiple")
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    bq = rowblock_bq(bq)
+    qkvp = _pad_to(qkv, 1, bq)
+    tp = qkvp.shape[1]
+    if kv_valid is None and tp != t:
+        kv_valid = jnp.ones((b, t), bool)
+    have_mask = kv_valid is not None
+    nhg = n_head // hpp
+    grid = (b, nhg, tp // bq)
+    in_specs = [
+        pl.BlockSpec((1, bq, hpp * d), lambda bi, hg, qi: (bi, qi, hg)),
+        pl.BlockSpec((1, tp, hpp * d),
+                     lambda bi, hg, qi: (bi, 0, nhg + hg)),
+        pl.BlockSpec((1, tp, hpp * d),
+                     lambda bi, hg, qi: (bi, 0, 2 * nhg + hg)),
+    ]
+    args = [qkvp, qkvp, qkvp]
+    if have_mask:
+        # additive 0/NEG_INF f32 row, pre-scaled to the log2 domain pads
+        # with False -> NEG_INF
+        maskp = jnp.where(_pad_to(kv_valid, 1, bq), 0.0,
+                          NEG_INF).astype(jnp.float32)[:, None, :]
+        in_specs.append(
+            pl.BlockSpec((1, 1, tp), lambda bi, hg, qi: (bi, 0, 0)))
+        args.append(maskp)
+
+        def kern(qrow_ref, krow_ref, vrow_ref, mask_ref, out_ref, s_ref):
+            _attn_kernel_causal_packed(
+                qrow_ref, krow_ref, vrow_ref, mask_ref, out_ref, s_ref,
+                bq=bq, t_kv=tp, d=d, scale=scale * LOG2E, have_mask=True,
+                hpp=hpp)
+    else:
+        def kern(qrow_ref, krow_ref, vrow_ref, out_ref, s_ref):
+            _attn_kernel_causal_packed(
+                qrow_ref, krow_ref, vrow_ref, None, out_ref, s_ref,
+                bq=bq, t_kv=tp, d=d, scale=scale * LOG2E, have_mask=False,
+                hpp=hpp)
+
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, hpp * d),
+                               lambda bi, hg, qi: (bi, qi, hg)),
+        out_shape=jax.ShapeDtypeStruct((b, tp, n_head * d), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((2, bq, tp), jnp.float32)],
+        interpret=interpret,
+        **params,
+    )(*args)
+    return out[:, :t, :]
+
+
 def rowblock_bq(bq: int) -> int:
     """Legal query block size for the row-block kernels.
 
@@ -453,8 +581,13 @@ def flash_attention(
         # clamping bq down
         bq = bk = rowblock_bq(min(bq, bk))
     else:
-        bq = min(bq, max(t, 8))
-        bk = min(bk, max(t, 8))
+        # the kernel's in-loop mask/bias slices are LANE-dim dynamic
+        # slices (pl.ds(j*bk, ...)), which Mosaic requires to be provably
+        # 128-aligned — sub-128 blocks compiled only in interpret mode
+        # and failed Mosaic on real TPU (e.g. the 35-token AR prefill).
+        # Keep blocks at 128 multiples and pad short T up instead.
+        bq = rowblock_bq(bq)
+        bk = rowblock_bq(bk)
         if block_bias:
             bq = bk = min(bq, bk)  # the Toeplitz trick needs square tiles
 
