@@ -263,3 +263,77 @@ def test_tp_sharded_vocoder_matches():
         out = fn(sp, jax.device_put(mel, batch_spec(mesh, 3)),
                  jax.device_put(noise, batch_spec(mesh, 3)))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_fused_decode_dp_sharded_token_parity(monkeypatch):
+    """A pure-dp mesh keeps the fused one-dispatch decode plane: the
+    shard_map wrapper (_generate_dp_jit) splits batch rows over "dp",
+    replicates the int8 weights, and must sample EXACTLY the tokens the
+    single-device fused plane samples (each shard replays the global
+    uniform stream and slices its rows; the stop rule is psum'd)."""
+    import dataclasses
+
+    from tortoise_tpu.config import tiny_ar_config
+    from tortoise_tpu.pipeline import ar_stage
+
+    cfg = dataclasses.replace(tiny_ar_config(), fused_decode=True)
+    params = random_ar_params(cfg, seed=3)
+    rng = np.random.default_rng(2)
+    b = 8
+    tokens_list = [list(rng.integers(0, cfg.n_text_vocab, (6,)))
+                   for _ in range(b)]
+    voices = rng.normal(0, .5, (b, cfg.d_model)).astype(np.float32)
+
+    ref_lat, ref_seqs = ar_stage.autoregressive_batch(
+        params, tokens_list, voices, cfg, seed=11,
+        compute_dtype=jnp.bfloat16, int8_weights=True)
+
+    calls = []
+    orig = ar_stage._generate_dp_jit
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ar_stage, "_generate_dp_jit", spy)
+    mesh = make_mesh(8, shape=(8, 1))
+    lat, seqs = ar_stage.autoregressive_batch(
+        params, tokens_list, voices, cfg, seed=11,
+        compute_dtype=jnp.bfloat16, int8_weights=True, mesh=mesh)
+
+    assert calls, "pure-dp mesh must take the fused shard_map plane"
+    assert seqs == ref_seqs
+    for a, r in zip(lat, ref_lat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-2, rtol=2e-2)
+
+
+def test_fused_decode_dp_gates(monkeypatch):
+    """tp>1 or a batch the dp axis can't split must fall back to the XLA
+    plane (fused_decode stripped), never the shard_map wrapper."""
+    import dataclasses
+
+    from tortoise_tpu.config import tiny_ar_config
+    from tortoise_tpu.pipeline import ar_stage
+
+    cfg = dataclasses.replace(tiny_ar_config(), fused_decode=True)
+    params = random_ar_params(cfg, seed=3)
+    rng = np.random.default_rng(4)
+    voices = rng.normal(0, .5, (4, cfg.d_model)).astype(np.float32)
+    tokens_list = [list(rng.integers(0, cfg.n_text_vocab, (5,)))
+                   for _ in range(4)]
+
+    def boom(*a, **k):
+        raise AssertionError("shard_map plane must not engage")
+
+    monkeypatch.setattr(ar_stage, "_generate_dp_jit", boom)
+    # tp=2: Megatron plane, pallas off
+    mesh = make_mesh(8, shape=(4, 2))
+    ar_stage.autoregressive_batch(
+        params, tokens_list, voices, cfg, seed=1,
+        compute_dtype=jnp.bfloat16, int8_weights=True, mesh=mesh)
+    # pure dp but 3 rows over 8 devices: falls back
+    mesh = make_mesh(8, shape=(8, 1))
+    ar_stage.autoregressive_batch(
+        params, tokens_list[:3], voices[:3], cfg, seed=1,
+        compute_dtype=jnp.bfloat16, int8_weights=True, mesh=mesh)

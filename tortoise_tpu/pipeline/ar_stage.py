@@ -255,13 +255,9 @@ def _decode_jit(params, cfg, cache, tokens, step, compute_dtype=None,
                           qkv_f16)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "compute_dtype", "qkv_f16", "max_steps"),
-    donate_argnames=("cache",),
-)
-def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
-                  max_steps: int, compute_dtype=None, qkv_f16=False):
+def _generate_body(params, cfg, first_logits, first_penalty_ids, cache, key,
+                   max_steps: int, compute_dtype=None, qkv_f16=False,
+                   axis_name=None, n_shards: int = 1):
     """Full on-device sampling loop.
 
     Returns (tokens (B, max_steps), n_steps, lengths (B,)): tokens beyond a
@@ -270,17 +266,36 @@ def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
     appended to sequence b (stop token included), mirroring the
     append-unless-finished rule (main.cpp:5205-5214).
 
-    The cache is donated: it is dead after this call (the latent pass
-    re-runs the full sequence from scratch), and without donation XLA
-    keeps the prefill cache alive next to the while-loop carry copy —
-    2x peak KV HBM during decode.
+    With `axis_name`, the body runs INSIDE a shard_map over a dp mesh
+    axis: B is this shard's rows. Every shard advances the identical key
+    chain, draws the GLOBAL (B*n_shards, 1) uniform matrix, and slices
+    its rows — bit-identical decisions to the single-device run of the
+    same global batch (jax threefry draws are shape-keyed, so a shard
+    drawing only its (B, 1) rows would sample a different stream). The
+    all-sequences-stopped termination rule is global: one psum per step
+    rides the ICI.
     """
     b = first_logits.shape[0]
     stop = cfg.stop_mel_token
 
+    def draw_u(k, dtype=jnp.float32):
+        if axis_name is None:
+            return jax.random.uniform(k, (b, 1), dtype)
+        u = jax.random.uniform(k, (b * n_shards, 1), dtype)
+        off = jax.lax.axis_index(axis_name) * b
+        return jax.lax.dynamic_slice(u, (off, 0), (b, 1))
+
+    def globally(all_stop):
+        # the reference terminates only when every sequence samples the
+        # stop token in the same iteration (main.cpp:5208-5218); under dp
+        # that is an all-reduce over the shards
+        if axis_name is None:
+            return all_stop
+        return jax.lax.psum(jnp.where(all_stop, 0, 1), axis_name) == 0
+
     def sample(logits, penalty_ids, key):
         probs, ids = S.process_logits_topk(logits, penalty_ids)
-        return S.sample_from_topk(key, probs, ids)
+        return S.sample_from_topk_u(draw_u(key, probs.dtype), probs, ids)
 
     key, k0 = jax.random.split(key)
     tok0 = sample(first_logits, first_penalty_ids, k0)
@@ -307,7 +322,7 @@ def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
         prev = tokens[:, step - 1]
         key, k = jax.random.split(key)
         if fuse_sampling:
-            u = jax.random.uniform(k, (b, 1), jnp.float32)
+            u = draw_u(k)
             tok, cache = ar.decode_sample_step(params, cfg, cache, prev,
                                                step - 1, u, compute_dtype)
         else:
@@ -317,17 +332,69 @@ def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
         tokens = tokens.at[:, step].set(tok)
         lengths = jnp.where(finished, lengths, lengths + 1)
         finished = finished | (tok == stop)
-        # the reference terminates only when every sequence samples the stop
-        # token in the same iteration (main.cpp:5208-5218)
-        all_stop = jnp.all(tok == stop)
+        all_stop = globally(jnp.all(tok == stop))
         return step + 1, all_stop, tokens, lengths, finished, cache, key
 
-    state = (jnp.int32(1), jnp.all(tok0 == stop), tokens0, lengths0,
-             finished0, cache, key)
+    state = (jnp.int32(1), globally(jnp.all(tok0 == stop)), tokens0,
+             lengths0, finished0, cache, key)
     step, _, tokens, lengths, finished, cache, _ = jax.lax.while_loop(
         cond, body, state
     )
     return tokens, step, lengths
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "qkv_f16", "max_steps"),
+    donate_argnames=("cache",),
+)
+def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
+                  max_steps: int, compute_dtype=None, qkv_f16=False):
+    """Single-device (or GSPMD-partitioned XLA plane) sampling loop; the
+    cache is donated — it is dead after this call (the latent pass re-runs
+    the full sequence from scratch), and without donation XLA keeps the
+    prefill cache alive next to the while-loop carry copy — 2x peak KV
+    HBM during decode."""
+    return _generate_body(params, cfg, first_logits, first_penalty_ids,
+                          cache, key, max_steps, compute_dtype, qkv_f16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "max_steps", "mesh"),
+    donate_argnames=("cache",),
+)
+def _generate_dp_jit(params, cfg, first_logits, first_penalty_ids, cache,
+                     key, max_steps: int, compute_dtype, mesh):
+    """The fused-kernel sampling loop dp-sharded with shard_map: batch
+    rows split over the mesh's "dp" axis, weights replicated, each shard
+    running the ONE-dispatch-per-step Pallas decode plane on its rows
+    (a pallas_call cannot be auto-partitioned by pjit, so the plain jit
+    plane had to fall back to the ~2x-slower XLA scan under any mesh).
+    Requires a pure-dp mesh (tp=1 — the kernel's weight blocks cannot
+    split) and B divisible by dp; see autoregressive_batch."""
+    from jax.sharding import PartitionSpec as P
+
+    P_rep = P()
+    pspecs = jax.tree.map(lambda _: P_rep, params)
+    cache_specs = ar.KVCache(
+        k=P(None, "dp", None, None), v=P(None, "dp", None, None),
+        valid=P("dp", None), length=P_rep)
+    dp = mesh.shape["dp"]
+
+    def body_fn(params, first_logits, first_penalty_ids, cache, key):
+        return _generate_body(params, cfg, first_logits, first_penalty_ids,
+                              cache, key, max_steps, compute_dtype,
+                              axis_name="dp", n_shards=dp)
+
+    fn = jax.shard_map(
+        body_fn,
+        mesh=mesh,
+        in_specs=(pspecs, P("dp", None), P("dp", None), cache_specs, P_rep),
+        out_specs=(P("dp", None), P_rep, P("dp")),
+        check_vma=False,
+    )
+    return fn(params, first_logits, first_penalty_ids, cache, key)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "qkv_f16"))
@@ -395,14 +462,29 @@ def autoregressive_batch(
     voices = np.asarray(voices, np.float32)
     if voices.ndim == 1:
         voices = np.broadcast_to(voices, (b, voices.shape[0]))
-    if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
-        # a pallas_call cannot be auto-partitioned by pjit: under a real
-        # multi-device mesh the fused decode kernel would force its
-        # dp-sharded operands to gather/replicate. Take the XLA scan
-        # plane there (its einsums partition cleanly); the fused kernel
-        # owns the single-device case.
-        cfg = dataclasses.replace(cfg, fused_decode=False)
     params = cast_matmul_weights(params, compute_dtype, int8_weights)
+    use_dp_fused = False
+    if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+        n_dev = int(np.prod(mesh.devices.shape))
+        dp = mesh.shape.get("dp", 1)
+        if (n_dev == dp and b % dp == 0 and not qkv_f16
+                and ar.can_fuse_sampling(params, cfg, compute_dtype,
+                                         b // dp)):
+            # pure-dp mesh: keep the fused one-dispatch-per-step decode
+            # plane via shard_map (_generate_dp_jit: batch rows per
+            # device, weights replicated, psum'd stop rule). Only the
+            # full-sequence prefill/latent passes drop to the XLA plane
+            # (their flash kernel is unsharded; scores partition cleanly).
+            use_dp_fused = True
+            cfg = dataclasses.replace(cfg, flash_prefill=False)
+        else:
+            # tp>1 (or a batch the dp axis can't split): a pallas_call
+            # cannot be auto-partitioned by pjit — the fused decode /
+            # flash prefill kernels would force their sharded operands to
+            # gather/replicate. Take the XLA planes there (their einsums
+            # partition cleanly).
+            cfg = dataclasses.replace(cfg, fused_decode=False,
+                                      flash_prefill=False)
 
     from tortoise_tpu.parallel import place_batch
     from tortoise_tpu.pipeline.common import mesh_context
@@ -429,10 +511,15 @@ def autoregressive_batch(
         first_ids[:, -1] = cfg.start_mel_token
 
         key = jax.random.PRNGKey(seed)
-        toks, n_steps, lengths = _generate_jit(
-            params, cfg, logits, place_batch(first_ids, mesh), cache, key,
-            cfg.max_decode_steps, compute_dtype, qkv_f16,
-        )
+        if use_dp_fused:
+            toks, n_steps, lengths = _generate_dp_jit(
+                params, cfg, logits, place_batch(first_ids, mesh), cache,
+                key, cfg.max_decode_steps, compute_dtype, mesh)
+        else:
+            toks, n_steps, lengths = _generate_jit(
+                params, cfg, logits, place_batch(first_ids, mesh), cache,
+                key, cfg.max_decode_steps, compute_dtype, qkv_f16,
+            )
         toks = np.asarray(toks)
         if st is not None:
             st["ar_decode_loop_s"] = time.monotonic() - t_sub
