@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from tortoise_tpu.config import ARConfig, tiny_ar_config
 from tortoise_tpu.io.checkpoint import random_ar_params
 from tortoise_tpu.pipeline import ar_stage as ap
+from tortoise_tpu.models import ar
 from tortoise_tpu.rng import ReferenceRng
 
 
@@ -195,3 +196,45 @@ def test_trim_keep_lengths_matches_trim_latents(tiny):
     trimmed = ap.trim_latents(lat, seqs, cfg)
     for k, t in zip(keeps, trimmed):
         assert t.shape[0] == k
+
+
+def test_sampler_params_reach_the_math(tiny):
+    """Per-call sampler settings must change the sampled stream (same
+    seed), accept dicts with partial overrides, reject bad values, and a
+    top_k over the fused kernel's 128-lane domain must route to the XLA
+    sampler plane (still producing valid sequences)."""
+    cfg, params, tokens, voice = tiny
+    base = ap.autoregressive(params, tokens, voice, 1, cfg, "jax", seed=5)
+    hot = ap.autoregressive(params, tokens, voice, 1, cfg, "jax", seed=5,
+                            sampler_params=(9.0, 30, 0.0, 1.0))
+    assert base[1] != hot[1]
+    # dict form with partial override == tuple form with the rest default
+    d = ap.autoregressive(params, tokens, voice, 1, cfg, "jax", seed=5,
+                          sampler_params={"temperature": 9.0, "top_k": 30,
+                                          "top_p_drop": 0.0,
+                                          "repetition_penalty": 1.0})
+    assert d[1] == hot[1]
+    # defaults explicit == defaults implicit
+    expl = ap.autoregressive(params, tokens, voice, 1, cfg, "jax", seed=5,
+                             sampler_params=ar.DEFAULT_SAMPLER)
+    assert expl[1] == base[1]
+
+    with pytest.raises(ValueError):
+        ap.normalize_sampler((0.0, 50, 0.2, 2.0))
+    with pytest.raises(ValueError):
+        ap.normalize_sampler({"nope": 1})
+
+    # oversized top_k: fused plane must gate off, XLA plane must run
+    import jax.numpy as jnp
+
+    from tortoise_tpu.models import ar as armod
+
+    qp = ap.cast_matmul_weights(params, jnp.bfloat16, int8=True)
+    assert armod.can_fuse_sampling(qp, cfg, jnp.bfloat16, 1)
+    assert not armod.can_fuse_sampling(qp, cfg, jnp.bfloat16, 1,
+                                       (0.8, 200, 0.2, 2.0))
+    wide = ap.autoregressive(params, tokens, voice, 1, cfg, "jax", seed=5,
+                             compute_dtype=jnp.bfloat16, int8_weights=True,
+                             sampler_params=(0.8, 200, 0.2, 2.0))
+    s = wide[1][0]
+    assert s[0] == cfg.start_mel_token and s[-1] == cfg.stop_mel_token

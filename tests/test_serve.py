@@ -214,3 +214,41 @@ def test_http_batch_failure_is_500(models, voice, monkeypatch):
         httpd.shutdown()
         httpd.server_close()
         server.stop(drain=False)
+
+
+def test_mixed_sampler_settings_split_batches(models, voice):
+    """Requests with different sampler settings in ONE admission window
+    must split into one synthesis batch per distinct setting (the
+    sampler is a whole-batch compile key), and per-request overrides
+    must reach the sampling math (different settings -> generally
+    different token streams for the same seed)."""
+    rng = np.random.default_rng(1)
+    toks = _tokens(rng, 5)
+    server = serve.SynthesisServer(models, max_batch=4, max_wait_ms=3000,
+                                   default_voice=voice)
+    with server:
+        f_default = server.submit(tokens=toks, seed=9)
+        f_hot = server.submit(tokens=toks, seed=9, temperature=5.0,
+                              top_k=200, repetition_penalty=1.0)
+        f_default2 = server.submit(tokens=toks, seed=9)
+        results = [f.result(timeout=600)
+                   for f in (f_default, f_hot, f_default2)]
+    assert all(len(r.audio) > 0 for r in results)
+    st = server.stats()
+    assert st["rows"] == 3
+    assert st["batches"] == 2  # default pair + the override row
+    assert st["failed_batches"] == 0
+    # (rows of one batch draw row-indexed streams, so equal-setting
+    # requests in different rows still differ; sampler-to-math plumbing
+    # is asserted at the driver level in test_ar_pipeline.py)
+
+
+def test_submit_rejects_bad_sampler(models, voice):
+    server = serve.SynthesisServer(models, default_voice=voice)
+    with server:
+        with pytest.raises(ValueError):
+            server.submit(tokens=[1, 4, 0], temperature=0.0)
+        with pytest.raises(ValueError):
+            server.submit(tokens=[1, 4, 0], top_k=0)
+        with pytest.raises(ValueError):
+            server.submit(tokens=[1, 4, 0], top_p_drop=1.5)

@@ -62,6 +62,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "relative logit error, fused Pallas decode trunk) "
                         "and runs the denoiser's hot matmuls on the int8 "
                         "MXU (~10%% off the diffusion step)")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="AR sampling temperature (default 0.8, the "
+                        "reference's hardcoded constant, main.cpp:4791)")
+    p.add_argument("--top-k", type=int, default=None,
+                   help="AR top-k candidates (default 50; >128 takes the "
+                        "XLA sampler plane instead of the fused kernel)")
+    p.add_argument("--top-p-drop", type=float, default=None,
+                   help="drop candidates whose ascending-inclusive "
+                        "cumulative mass is <= this (default 0.2, the "
+                        "reference's quirked nucleus rule)")
+    p.add_argument("--repetition-penalty", type=float, default=None,
+                   help="penalty on the previous token's logit "
+                        "(default 2.0)")
     p.add_argument("--diffusion-steps", type=int, default=80,
                    help="respaced DDPM steps (80 matches the reference; "
                         "fewer is faster at some quality cost)")
@@ -96,6 +109,11 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     progress = None if args.no_progress else progress_bar
+    sampler_params = {k: v for k, v in (
+        ("temperature", args.temperature), ("top_k", args.top_k),
+        ("top_p_drop", args.top_p_drop),
+        ("repetition_penalty", args.repetition_penalty)) if v is not None} \
+        or None
 
     if args.random_weights:
         models = TortoiseModels.random(args.seed, tiny=args.tiny)
@@ -186,7 +204,7 @@ def main(argv=None) -> int:
             models, messages=messages, tokens_list=tokens_list,
             voices=voice, seed=args.seed, compute_dtype=compute_dtype,
             tokenizer_method=args.tokenizer_method, progress=progress,
-            int8_weights=args.int8_weights,
+            int8_weights=args.int8_weights, sampler_params=sampler_params,
         )
         root, ext = os.path.splitext(args.output)
         for i, r in enumerate(results):
@@ -229,6 +247,7 @@ def main(argv=None) -> int:
         tokenizer_method=args.tokenizer_method,
         progress=progress,
         int8_weights=args.int8_weights,
+        sampler_params=sampler_params,
     )
     result.save(args.output)
     total = sum(result.timings.values())

@@ -420,13 +420,21 @@ def _fits_fused(batch: int) -> bool:
     return batch <= FUSED_MAX_BATCH
 
 
-def can_fuse_sampling(params, cfg: ARConfig, compute_dtype,
-                      batch: int) -> bool:
+FUSED_MAX_TOPK = 128  # the in-kernel sampler's top-k domain is one
+# 128-lane pass (decode_trunk._sample); larger top_k takes the XLA chain
+
+
+def can_fuse_sampling(params, cfg: ARConfig, compute_dtype, batch: int,
+                      sampler: tuple = None) -> bool:
     """True when decode_sample_step's fused decode+sample kernel plane is
     available: B<=16, bf16 compute, int8 weights with the padded head
-    pack. B rows share the int8 weight stream — batched decode costs
-    little more per step than B=1."""
+    pack, and a sampler the kernel supports (top_k <= 128). B rows share
+    the int8 weight stream — batched decode costs little more per step
+    than B=1."""
+    if sampler is None:
+        sampler = DEFAULT_SAMPLER
     return (cfg.fused_decode and _fits_fused(batch)
+            and sampler[1] <= FUSED_MAX_TOPK
             and compute_dtype == jnp.bfloat16
             and isinstance(params["blocks"].get("attn_w"), tuple)
             and params.get("head_pack") is not None)

@@ -257,7 +257,8 @@ def _decode_jit(params, cfg, cache, tokens, step, compute_dtype=None,
 
 def _generate_body(params, cfg, first_logits, first_penalty_ids, cache, key,
                    max_steps: int, compute_dtype=None, qkv_f16=False,
-                   axis_name=None, n_shards: int = 1):
+                   axis_name=None, n_shards: int = 1,
+                   sampler: tuple = ar.DEFAULT_SAMPLER):
     """Full on-device sampling loop.
 
     Returns (tokens (B, max_steps), n_steps, lengths (B,)): tokens beyond a
@@ -294,7 +295,7 @@ def _generate_body(params, cfg, first_logits, first_penalty_ids, cache, key,
         return jax.lax.psum(jnp.where(all_stop, 0, 1), axis_name) == 0
 
     def sample(logits, penalty_ids, key):
-        probs, ids = S.process_logits_topk(logits, penalty_ids)
+        probs, ids = S.process_logits_topk(logits, penalty_ids, *sampler)
         return S.sample_from_topk_u(draw_u(key, probs.dtype), probs, ids)
 
     key, k0 = jax.random.split(key)
@@ -315,7 +316,8 @@ def _generate_body(params, cfg, first_logits, first_penalty_ids, cache, key,
     # draws the same-(B, 1) u from the same key), so the token sequences
     # agree up to f32 rounding between the two logit paths.
     fuse_sampling = (not qkv_f16
-                     and ar.can_fuse_sampling(params, cfg, compute_dtype, b))
+                     and ar.can_fuse_sampling(params, cfg, compute_dtype, b,
+                                              sampler))
 
     def body(state):
         step, _, tokens, lengths, finished, cache, key = state
@@ -324,7 +326,8 @@ def _generate_body(params, cfg, first_logits, first_penalty_ids, cache, key,
         if fuse_sampling:
             u = draw_u(k)
             tok, cache = ar.decode_sample_step(params, cfg, cache, prev,
-                                               step - 1, u, compute_dtype)
+                                               step - 1, u, compute_dtype,
+                                               sampler=sampler)
         else:
             logits, cache = ar.decode_step(params, cfg, cache, prev,
                                            step - 1, compute_dtype, qkv_f16)
@@ -345,27 +348,31 @@ def _generate_body(params, cfg, first_logits, first_penalty_ids, cache, key,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "compute_dtype", "qkv_f16", "max_steps"),
+    static_argnames=("cfg", "compute_dtype", "qkv_f16", "max_steps",
+                     "sampler"),
     donate_argnames=("cache",),
 )
 def _generate_jit(params, cfg, first_logits, first_penalty_ids, cache, key,
-                  max_steps: int, compute_dtype=None, qkv_f16=False):
+                  max_steps: int, compute_dtype=None, qkv_f16=False,
+                  sampler: tuple = ar.DEFAULT_SAMPLER):
     """Single-device (or GSPMD-partitioned XLA plane) sampling loop; the
     cache is donated — it is dead after this call (the latent pass re-runs
     the full sequence from scratch), and without donation XLA keeps the
     prefill cache alive next to the while-loop carry copy — 2x peak KV
     HBM during decode."""
     return _generate_body(params, cfg, first_logits, first_penalty_ids,
-                          cache, key, max_steps, compute_dtype, qkv_f16)
+                          cache, key, max_steps, compute_dtype, qkv_f16,
+                          sampler=sampler)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "compute_dtype", "max_steps", "mesh"),
+    static_argnames=("cfg", "compute_dtype", "max_steps", "mesh", "sampler"),
     donate_argnames=("cache",),
 )
 def _generate_dp_jit(params, cfg, first_logits, first_penalty_ids, cache,
-                     key, max_steps: int, compute_dtype, mesh):
+                     key, max_steps: int, compute_dtype, mesh,
+                     sampler: tuple = ar.DEFAULT_SAMPLER):
     """The fused-kernel sampling loop dp-sharded with shard_map: batch
     rows split over the mesh's "dp" axis, weights replicated, each shard
     running the ONE-dispatch-per-step Pallas decode plane on its rows
@@ -385,7 +392,7 @@ def _generate_dp_jit(params, cfg, first_logits, first_penalty_ids, cache,
     def body_fn(params, first_logits, first_penalty_ids, cache, key):
         return _generate_body(params, cfg, first_logits, first_penalty_ids,
                               cache, key, max_steps, compute_dtype,
-                              axis_name="dp", n_shards=dp)
+                              axis_name="dp", n_shards=dp, sampler=sampler)
 
     fn = jax.shard_map(
         body_fn,
@@ -420,6 +427,33 @@ def _sequences_from_token_matrix(tokens, lengths):
     return seqs
 
 
+def normalize_sampler(sampler_params) -> tuple:
+    """(temperature, top_k, top_p_drop, repetition_penalty) — a hashable
+    jit-key tuple; None -> the reference's hardcoded defaults
+    (main.cpp:4791-4793). Accepts a 4-sequence or a dict with those keys
+    (missing keys keep defaults)."""
+    if sampler_params is None:
+        return ar.DEFAULT_SAMPLER
+    if isinstance(sampler_params, dict):
+        unknown = set(sampler_params) - {"temperature", "top_k",
+                                         "top_p_drop", "repetition_penalty"}
+        if unknown:
+            raise ValueError(f"unknown sampler params: {sorted(unknown)}")
+        d = dict(zip(("temperature", "top_k", "top_p_drop",
+                      "repetition_penalty"), ar.DEFAULT_SAMPLER))
+        d.update(sampler_params)
+        sampler_params = (d["temperature"], d["top_k"], d["top_p_drop"],
+                          d["repetition_penalty"])
+    t, k, p, r = sampler_params
+    t, k, p, r = float(t), int(k), float(p), float(r)
+    if not (t > 0 and k >= 1 and 0 <= p < 1 and r > 0):
+        raise ValueError(
+            f"bad sampler params (temperature={t}, top_k={k}, "
+            f"top_p_drop={p}, repetition_penalty={r}): need temperature>0, "
+            "top_k>=1, 0<=top_p_drop<1, repetition_penalty>0")
+    return (t, k, p, r)
+
+
 def autoregressive_batch(
     params,
     tokens_list,
@@ -432,6 +466,7 @@ def autoregressive_batch(
     int8_weights: bool = False,
     return_device_latents: bool = False,
     substage_timings: Optional[dict] = None,
+    sampler_params=None,
 ) -> Tuple:
     """Batched serving path: different token sequences per row (list of id
     lists) with per-row voices (B, d) or one shared (d,) latent. Rows are
@@ -444,7 +479,14 @@ def autoregressive_batch(
 
     The first-step repetition penalty targets the prefill filler id set
     {1, start}, which is length-independent, so mixed text lengths share
-    one penalty matrix (main.cpp:5100-5106)."""
+    one penalty matrix (main.cpp:5100-5106).
+
+    `sampler_params`: per-call (temperature, top_k, top_p_drop,
+    repetition_penalty) — tuple, dict, or None for the reference's
+    defaults (see normalize_sampler). top_k > 128 exceeds the fused
+    kernel's in-kernel top-k domain and routes to the XLA sampler
+    plane automatically."""
+    sampler = normalize_sampler(sampler_params)
     tokens_list = [list(map(int, t)) for t in tokens_list]
     if not tokens_list:
         raise ValueError("tokens_list is empty")
@@ -469,7 +511,7 @@ def autoregressive_batch(
         dp = mesh.shape.get("dp", 1)
         if (n_dev == dp and b % dp == 0 and not qkv_f16
                 and ar.can_fuse_sampling(params, cfg, compute_dtype,
-                                         b // dp)):
+                                         b // dp, sampler)):
             # pure-dp mesh: keep the fused one-dispatch-per-step decode
             # plane via shard_map (_generate_dp_jit: batch rows per
             # device, weights replicated, psum'd stop rule). Only the
@@ -514,11 +556,13 @@ def autoregressive_batch(
         if use_dp_fused:
             toks, n_steps, lengths = _generate_dp_jit(
                 params, cfg, logits, place_batch(first_ids, mesh), cache,
-                key, cfg.max_decode_steps, compute_dtype, mesh)
+                key, cfg.max_decode_steps, compute_dtype, mesh,
+                sampler=sampler)
         else:
             toks, n_steps, lengths = _generate_jit(
                 params, cfg, logits, place_batch(first_ids, mesh), cache,
                 key, cfg.max_decode_steps, compute_dtype, qkv_f16,
+                sampler=sampler,
             )
         toks = np.asarray(toks)
         if st is not None:
@@ -555,6 +599,7 @@ def autoregressive(
     int8_weights: bool = False,
     return_device_latents: bool = False,
     substage_timings: Optional[dict] = None,
+    sampler_params=None,
 ) -> Tuple:
     """Run stage 1. Returns (trimmed_latents, padded_sequences), the exact
     analogue of the reference's return pair (main.cpp:5365-5366) — or,
@@ -583,6 +628,7 @@ def autoregressive(
             int8_weights=int8_weights,
             return_device_latents=return_device_latents,
             substage_timings=substage_timings,
+            sampler_params=sampler_params,
         )
     t = len(tokens)
     bucket = pick_bucket(t)
@@ -619,9 +665,10 @@ def autoregressive(
         sequences = [[] for _ in range(batch_size)]
         prev_ids = [list(first_ids[b]) for b in range(batch_size)]
         step = 0
+        sp = normalize_sampler(sampler_params)
         while True:
             samples = S.host_process_logits_and_sample(
-                np.asarray(logits, np.float32), prev_ids, rng
+                np.asarray(logits, np.float32), prev_ids, rng, *sp
             )
             for b in range(batch_size):
                 if not (sequences[b] and sequences[b][-1] == cfg.stop_mel_token):

@@ -177,6 +177,7 @@ def synthesize_batch(
     int8_weights: bool = False,
     stage_sync: bool = False,
     materialize: bool = True,
+    sampler_params=None,
 ) -> List[SynthesisResult]:
     """Batched serving path: synthesize several utterances together. Each
     stage runs one batched on-device computation with per-row masked
@@ -184,7 +185,9 @@ def synthesize_batch(
     dimension over its "dp" axis — batch size should divide the dp size
     (otherwise inputs fall back to replicated placement). `voices`: one
     (d,) latent shared by all rows, a (B, d) array, or a list of
-    paths/arrays per row."""
+    paths/arrays per row. `sampler_params`: (temperature, top_k,
+    top_p_drop, repetition_penalty) tuple or dict for the whole batch
+    (ar_stage.normalize_sampler); None keeps the reference defaults."""
     from tortoise_tpu.pipeline.ar_stage import autoregressive_batch
     from tortoise_tpu.pipeline.diffusion_stage import diffusion_batch
     from tortoise_tpu.pipeline.vocoder_stage import vocoder_batch
@@ -227,6 +230,7 @@ def synthesize_batch(
             seed=seed, compute_dtype=compute_dtype, mesh=mesh,
             int8_weights=int8_weights, return_device_latents=True,
             substage_timings=timings if stage_sync else None,
+            sampler_params=sampler_params,
         )
         if stage_sync:
             _sync(lat_dev)
@@ -264,7 +268,7 @@ def synthesize_batch(
         latents, sequences = autoregressive_batch(
             models.ar_params, tokens_list, voices, models.ar_cfg,
             seed=seed, compute_dtype=compute_dtype, mesh=mesh,
-            int8_weights=int8_weights,
+            int8_weights=int8_weights, sampler_params=sampler_params,
         )
         timings["autoregressive_s"] = time.monotonic() - t0
 
@@ -313,6 +317,7 @@ def synthesize(
     int8_weights: bool = False,
     stage_sync: bool = False,
     materialize: bool = True,
+    sampler_params=None,
 ) -> SynthesisResult:
     """Run the full pipeline. Provide `message` (tokenized via the models'
     tokenizer) or raw wrapped `tokens`. `voice` is a 1024-f32 latent array
@@ -342,6 +347,7 @@ def synthesize(
             sampler=sampler, seed=seed, compute_dtype=compute_dtype,
             int8_weights=int8_weights, return_device_latents=True,
             substage_timings=timings if stage_sync else None,
+            sampler_params=sampler_params,
         )
         if stage_sync:
             _sync(lat_dev)
@@ -380,6 +386,7 @@ def synthesize(
             models.ar_params, tokens, voice, batch_size, models.ar_cfg,
             sampler=sampler, seed=seed, rng=rng,
             compute_dtype=compute_dtype, int8_weights=int8_weights,
+            sampler_params=sampler_params,
         )
         timings["autoregressive_s"] = time.monotonic() - t0
 

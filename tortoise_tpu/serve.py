@@ -64,6 +64,7 @@ class _Request:
     tokens: List[int]
     voice: np.ndarray
     seed: int
+    sampler: tuple = None  # normalized (temp, top_k, p_drop, penalty)
     future: "Future[SynthesisResult]" = field(default_factory=Future)
 
 
@@ -160,7 +161,12 @@ class SynthesisServer:
 
     def submit(self, message: Optional[str] = None,
                tokens: Optional[Sequence[int]] = None,
-               voice=None, seed: int = 0) -> "Future[SynthesisResult]":
+               voice=None, seed: int = 0,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p_drop: Optional[float] = None,
+               repetition_penalty: Optional[float] = None,
+               ) -> "Future[SynthesisResult]":
         """Enqueue one utterance; returns a Future resolving to its
         SynthesisResult. `voice` is a (d,) latent, a path to a voice .bin,
         a bare name resolved against voice_dir, or None for the server's
@@ -170,11 +176,26 @@ class SynthesisServer:
         request's seed wins) — under dynamic batching the exact output
         depends on batch composition; see the module docstring.
 
+        temperature / top_k / top_p_drop / repetition_penalty override
+        the reference's hardcoded sampler constants (main.cpp:4791-4793)
+        per request; None keeps each default. Only requests with the
+        SAME effective sampler settings batch together (the sampler is a
+        whole-batch compile key) — the worker splits a mixed admission
+        window into one synthesis batch per distinct setting. top_k >
+        128 routes the batch to the XLA sampler plane automatically.
+
         Inputs are validated HERE, before enqueueing, so a malformed
         request fails its own caller instead of poisoning the batch it
         would have joined."""
         if self._worker is None:
             raise RuntimeError("server not started")
+        from tortoise_tpu.pipeline.ar_stage import normalize_sampler
+
+        overrides = {k: v for k, v in (
+            ("temperature", temperature), ("top_k", top_k),
+            ("top_p_drop", top_p_drop),
+            ("repetition_penalty", repetition_penalty)) if v is not None}
+        sampler = normalize_sampler(overrides or None)
         if tokens is None:
             if message is None:
                 raise ValueError("pass message or tokens")
@@ -204,7 +225,7 @@ class SynthesisServer:
             raise ValueError(
                 f"voice latent must have shape ({d},), got "
                 f"{voice_arr.shape}")
-        req = _Request(tokens, voice_arr, int(seed))
+        req = _Request(tokens, voice_arr, int(seed), sampler)
         with self._lock:
             if self._closed or self._worker is None:
                 raise RuntimeError("server not started")
@@ -298,38 +319,48 @@ class SynthesisServer:
 
     def _run(self) -> None:
         while not self._stop.is_set():
-            batch = self._collect()
-            if not batch:
+            admitted = self._collect()
+            if not admitted:
                 continue
-            n = len(batch)
-            bucket = self._bucket(n)
-            rows = batch + [batch[-1]] * (bucket - n)  # repeat-pad rows
-            try:
-                results = synthesize_batch(
-                    self.models,
-                    tokens_list=[r.tokens for r in rows],
-                    voices=[r.voice for r in rows],
-                    seed=batch[0].seed,
-                    compute_dtype=self.compute_dtype,
-                    int8_weights=self.int8_weights,
-                    mesh=self.mesh,
-                    materialize=False,
-                )
-            except Exception as e:  # resolve, don't kill the worker
-                for r in batch:
-                    r.future.set_exception(e)
-                with self._lock:
-                    self._stats["failed_batches"] += 1
-            else:
-                for r, res in zip(batch, results):  # dummy rows dropped
-                    r.future.set_result(res)
-                with self._lock:
-                    self._stats["batches"] += 1
-                    self._stats["rows"] += n
-                    self._stats["padded_rows"] += bucket - n
-            finally:
-                for _ in range(n):
-                    self._queue.task_done()
+            # the sampler settings are a whole-batch compile/sampling key:
+            # split the admission window into one synthesis batch per
+            # distinct setting (arrival order preserved within each)
+            groups: dict = {}
+            for r in admitted:
+                groups.setdefault(r.sampler, []).append(r)
+            for sampler, batch in groups.items():
+                self._run_batch(batch, sampler)
+            for _ in range(len(admitted)):
+                self._queue.task_done()
+
+    def _run_batch(self, batch: List[_Request], sampler: tuple) -> None:
+        n = len(batch)
+        bucket = self._bucket(n)
+        rows = batch + [batch[-1]] * (bucket - n)  # repeat-pad rows
+        try:
+            results = synthesize_batch(
+                self.models,
+                tokens_list=[r.tokens for r in rows],
+                voices=[r.voice for r in rows],
+                seed=batch[0].seed,
+                compute_dtype=self.compute_dtype,
+                int8_weights=self.int8_weights,
+                mesh=self.mesh,
+                materialize=False,
+                sampler_params=sampler,
+            )
+        except Exception as e:  # resolve, don't kill the worker
+            for r in batch:
+                r.future.set_exception(e)
+            with self._lock:
+                self._stats["failed_batches"] += 1
+        else:
+            for r, res in zip(batch, results):  # dummy rows dropped
+                r.future.set_result(res)
+            with self._lock:
+                self._stats["batches"] += 1
+                self._stats["rows"] += n
+                self._stats["padded_rows"] += bucket - n
 
 
 # -- HTTP front-end (stdlib only) -----------------------------------------
@@ -341,7 +372,10 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
 
     POST /synthesize  {"message": str | "tokens": [int],
                        "voice": path or bare name (needs voice_dir),
-                       "seed": int}            -> 200 audio/wav
+                       "seed": int,
+                       "temperature"/"top_k"/"top_p_drop"/
+                       "repetition_penalty": optional sampler overrides}
+                                               -> 200 audio/wav
     GET  /healthz                              -> 200 application/json
 
     Invalid input fails at submit time with 400 (only the offending
@@ -375,7 +409,11 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
                 req = json.loads(self.rfile.read(length) or b"{}")
                 fut = server.submit(
                     message=req.get("message"), tokens=req.get("tokens"),
-                    voice=req.get("voice"), seed=int(req.get("seed", 0)))
+                    voice=req.get("voice"), seed=int(req.get("seed", 0)),
+                    temperature=req.get("temperature"),
+                    top_k=req.get("top_k"),
+                    top_p_drop=req.get("top_p_drop"),
+                    repetition_penalty=req.get("repetition_penalty"))
             except Exception as e:  # this request's input was bad
                 return self._json(400, {"error": str(e)})
             try:
