@@ -107,12 +107,6 @@ def build_models(small, use_bf16, int8=False):
             "BENCH_NO_FLASH") != "1":
         models.diffusion_cfg = dataclasses.replace(models.diffusion_cfg,
                                                    use_flash=True)
-        # the XLA LVC path measures faster than the Pallas kernel at
-        # production shapes (65 vs 99 ms/pass, scripts/ubench_vocoder.py);
-        # opt back in with BENCH_PALLAS_LVC=1
-        models.vocoder_cfg = dataclasses.replace(
-            models.vocoder_cfg,
-            use_pallas_lvc=os.environ.get("BENCH_PALLAS_LVC") == "1")
     # flash-kernel knob overrides for sweeps (config fields, trace-time)
     for env, field in (("BENCH_FLASH_BQ", "flash_bq"),
                        ("BENCH_FLASH_HPP", "flash_hpp"),

@@ -81,9 +81,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-flash", action="store_true",
                    help="disable the Pallas flash-attention kernel "
                         "(auto-enabled on TPU)")
-    p.add_argument("--pallas-lvc", action="store_true",
-                   help="use the Pallas LVC vocoder kernel (the XLA path "
-                        "measures faster at production shapes)")
     p.add_argument("--random-weights", action="store_true",
                    help="use a synthetic random checkpoint (flow testing "
                         "without the published weights)")
@@ -170,10 +167,6 @@ def main(argv=None) -> int:
         models.diffusion_cfg,
         n_sample_timesteps=args.diffusion_steps,
         use_flash=(on_tpu and not args.no_flash),
-    )
-    models.vocoder_cfg = dataclasses.replace(
-        models.vocoder_cfg,
-        use_pallas_lvc=(on_tpu and args.pallas_lvc),
     )
 
     def standin_tokens(rng, n):

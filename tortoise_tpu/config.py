@@ -124,7 +124,13 @@ class VocoderConfig:
     mel_pad_frames: int = 10         # appended MEL_MIN frames (main.cpp:6051)
     leaky_slope: float = 0.2
     sample_rate: int = 24000
-    use_pallas_lvc: bool = False     # fused Pallas LVC+gate+residual kernel
+    # fused Pallas LVC+gate+residual kernel — a MEASURED NEGATIVE
+    # RESULT, kept only for the A/B oracle tests: the XLA LVC path
+    # (batched per-chunk matmuls) beats it at production shape on v5e
+    # (60.4 vs 92.7 ms/pass r4; 65 vs 99 r3, scripts/ubench_vocoder.py).
+    # The kernel's per-chunk grid cannot overlap the gate's transposed
+    # conv the way XLA's fusions do. No CLI/bench surface enables it.
+    use_pallas_lvc: bool = False
 
     @property
     def total_upsample(self) -> int:
