@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-flash", action="store_true",
                    help="disable the Pallas flash-attention kernel "
                         "(auto-enabled on TPU)")
+    p.add_argument("--stream", action="store_true",
+                   help="streaming synthesis: windowed diffusion + chunked "
+                        "vocoding emit audio while later frames still "
+                        "denoise; prints first-audio latency "
+                        "(pipeline/streaming.py — beyond-reference axis)")
     p.add_argument("--random-weights", action="store_true",
                    help="use a synthetic random checkpoint (flow testing "
                         "without the published weights)")
@@ -227,6 +232,36 @@ def main(argv=None) -> int:
         tokens = standin_tokens(np.random.default_rng(args.seed), 8)
         print("warning: no tokenizer.json; using stand-in tokens",
               file=sys.stderr)
+
+    if args.stream:
+        import time as _time
+
+        from tortoise_tpu.io.wav import write_wav
+        from tortoise_tpu.pipeline.streaming import stream_synthesize
+
+        t0 = _time.monotonic()
+        parts = []
+        first = None
+        for chunk in stream_synthesize(
+                models, message=args.message, tokens=tokens, voice=voice,
+                seed=args.seed, compute_dtype=compute_dtype,
+                int8_weights=args.int8_weights,
+                sampler_params=sampler_params,
+                tokenizer_method=args.tokenizer_method):
+            if first is None:
+                first = chunk.latency_s
+                print(f"first audio after {first:.2f}s "
+                      f"({len(chunk.audio)} samples)", flush=True)
+            parts.append(chunk.audio)
+        wall = _time.monotonic() - t0
+        audio = np.concatenate(parts)
+        sr = models.vocoder_cfg.sample_rate
+        write_wav(args.output, audio, sr)
+        dur = len(audio) / sr
+        print(f"wrote {args.output}: {len(audio)} samples ({dur:.2f}s @ "
+              f"{sr} Hz); first_audio {first:.2f}s, wall {wall:.2f}s "
+              f"(RTF {wall / max(dur, 1e-9):.3f})")
+        return 0
 
     result = synthesize(
         models,
