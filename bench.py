@@ -316,9 +316,12 @@ def main() -> int:
             first = None
             n_samples = 0
             n_chunks = 0
+            # small first window: first-audio latency scales with the
+            # first window's 80-step loop width
             for chunk in stream_synthesize(
                     models, tokens=tokens, voice=voice, seed=seed,
-                    compute_dtype=compute_dtype, int8_weights=int8):
+                    compute_dtype=compute_dtype, int8_weights=int8,
+                    first_window_frames=None if small else 128):
                 if first is None:
                     first = chunk.latency_s
                 n_samples += len(chunk.audio)

@@ -173,3 +173,27 @@ def test_stream_synthesize_end_to_end():
     assert len(audio) % 2 == 0 and len(audio) > 0
     assert np.isfinite(audio).all()
     assert (len(audio) + 6) % vcfg.total_upsample == 0
+
+
+def test_mel_first_window_variant():
+    """A smaller first window still covers [0, out_len) exactly once and
+    respects validation."""
+    cfg = tiny_diffusion_config()
+    params = random_diffusion_params(cfg, seed=2)
+    rng = np.random.default_rng(6)
+    keep = 15
+    out_len = mel_length_for_latents(keep)
+    lat = jnp.asarray(rng.normal(0, 0.5, (1, 16, cfg.d_model)), jnp.float32)
+    spans = list(st.stream_mel_windows(
+        params, cfg, lat, keep, seed=9, window_frames=24, overlap_frames=8,
+        first_window_frames=12))
+    pos = 0
+    for (s, e, block) in spans:
+        assert s == pos and block.shape == (cfg.n_mel, e - s)
+        assert np.isfinite(block).all()
+        pos = e
+    assert pos == out_len
+    with pytest.raises(ValueError):
+        list(st.stream_mel_windows(params, cfg, lat, keep, seed=9,
+                                   window_frames=24, overlap_frames=8,
+                                   first_window_frames=8))

@@ -79,7 +79,8 @@ def _denoise_window(params, cfg, sched, code_emb2, noise_w, buckets_w,
 def stream_mel_windows(params, cfg: DiffusionConfig, latents_dev, keep_len,
                        seed: int, window_frames: int, overlap_frames: int,
                        compute_dtype=None, int8_weights: bool = False,
-                       variance_swap: bool = True):
+                       variance_swap: bool = True,
+                       first_window_frames: Optional[int] = None):
     """Yield (start, end, mel_block (100, end-start) np.f32) spans of
     FINALIZED normalized mel, in order, covering [0, out_len).
 
@@ -87,7 +88,11 @@ def stream_mel_windows(params, cfg: DiffusionConfig, latents_dev, keep_len,
     selected); keep_len: true latent count. Window i denoises
     [a_i, a_i + Wp) and finalizes frames up to its emit edge minus the
     crossfade span; the crossfade region of two adjacent windows blends
-    linearly (both windows computed it)."""
+    linearly (both windows computed it).
+
+    first_window_frames: optional smaller FIRST window — first-audio
+    latency is ~ the first window's 80-step loop, which scales with its
+    width (the two widths compile two loop programs; both cache)."""
     params = dst._prepare_params(params, int8_weights)
     w, ov = int(window_frames), int(overlap_frames)
     if w <= 0 or ov < 0 or ov >= w:
@@ -131,25 +136,29 @@ def stream_mel_windows(params, cfg: DiffusionConfig, latents_dev, keep_len,
     noise_full = jnp.where(jnp.asarray(frame_idx < out_len)[None, None, :],
                            noise_full, 0.0)
 
-    buckets_w = dst._buckets_dev(wp, cfg.rel_pos_buckets,
-                                 cfg.rel_pos_max_distance)
-
     mel_buf = np.zeros((cfg.n_mel, out_len), np.float32)
     ramp = (np.arange(1, ov + 1, dtype=np.float32) / (ov + 1))[None, :] \
         if ov else None
 
-    starts = list(range(0, out_len, w))
+    w0 = min(int(first_window_frames or w), out_pad)
+    if first_window_frames is not None and w0 <= ov:
+        raise ValueError(f"first_window_frames={first_window_frames} must "
+                         f"exceed overlap_frames={ov}")
+    starts = [0] + list(range(w0, out_len, w))
     done_upto = 0
     for i, s in enumerate(starts):
-        e = min(s + w, out_len)
-        a = max(0, min(s - ov, out_pad - wp))
-        mask_np = (np.arange(a, a + wp) < out_len)
+        e = min((w0 if i == 0 else s + w), out_len)
+        wp_i = w0 if i == 0 else wp
+        a = max(0, min(s - ov, out_pad - wp_i)) if i else 0
+        mask_np = (np.arange(a, a + wp_i) < out_len)
         mask_w = None if mask_np.all() else jnp.asarray(mask_np[None, :])
+        buckets_w = dst._buckets_dev(wp_i, cfg.rel_pos_buckets,
+                                     cfg.rel_pos_max_distance)
         wkey = key if len(starts) == 1 else jax.random.fold_in(key, i)
         x = _denoise_window(
             params, cfg, sched,
-            jax.lax.dynamic_slice_in_dim(code_emb2, a, wp, axis=2),
-            jax.lax.dynamic_slice_in_dim(noise_full, a, wp, axis=2),
+            jax.lax.dynamic_slice_in_dim(code_emb2, a, wp_i, axis=2),
+            jax.lax.dynamic_slice_in_dim(noise_full, a, wp_i, axis=2),
             buckets_w, mask_w, wkey, variance_swap, compute_dtype)
         mel_w = np.asarray(x)[0]                        # (100, wp)
         lo = s - a                                      # emit offset
@@ -247,6 +256,7 @@ def stream_synthesize(
     window_frames: int = 352,
     overlap_frames: int = 32,
     vocoder_margin: int = 32,
+    first_window_frames: Optional[int] = None,
     sampler_params=None,
     tokenizer_method: str = "greedy",
 ) -> Iterator[StreamChunk]:
@@ -279,7 +289,8 @@ def stream_synthesize(
     spans = stream_mel_windows(
         models.diffusion_params, models.diffusion_cfg, lat_dev[0:1],
         keeps[0], seed + 1, window_frames, overlap_frames,
-        compute_dtype=compute_dtype, int8_weights=int8_weights)
+        compute_dtype=compute_dtype, int8_weights=int8_weights,
+        first_window_frames=first_window_frames)
     for chunk in stream_audio_chunks(
             models.vocoder_params, models.vocoder_cfg, spans, out_len,
             seed + 2, margin=vocoder_margin, compute_dtype=compute_dtype):
