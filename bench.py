@@ -150,6 +150,102 @@ def checked_sync(run_sync, max_tries: int = 3):
         "sync_retries": max_tries - 1, "sync_consistent": False}
 
 
+def kernel_selfcheck() -> dict:
+    """On-TPU correctness check of every Mosaic kernel the bench relies
+    on, against its XLA reference, at production head/lane dims but
+    small layer/sequence counts (seconds, not minutes, of compile).
+
+    CPU tests drive these kernels in interpret mode only; without this,
+    a Mosaic miscompile on the real chip would surface as silently wrong
+    audio (or as a bench fallback), not as a visible artifact field. The
+    result dict lands in the bench JSON: per-kernel max |diff| plus an
+    `ok` verdict against thresholds ~10x the observed-good values."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tortoise_tpu.config import ARConfig
+    from tortoise_tpu.io.checkpoint import random_ar_params
+    from tortoise_tpu.models import ar
+    from tortoise_tpu.ops.pallas.flash_attention import (
+        flash_attention_causal_qkv,
+        flash_attention_packed,
+        xla_attention,
+    )
+    from tortoise_tpu.pipeline.ar_stage import cast_matmul_weights
+
+    out = {}
+    rng = np.random.default_rng(0)
+    interp = False  # this check is only meaningful on the real backend
+
+    # 1) packed band-bias flash kernel (diffusion attention) vs XLA
+    b, h, t, d = 2, 16, 512, 64
+    qkv = jnp.asarray(rng.normal(0, 1, (b, t, 3 * h * d)), jnp.bfloat16)
+    table = jnp.asarray(rng.normal(0, 0.1, (32, h)), jnp.float32)
+    valid = jnp.asarray(np.arange(t)[None, :] < np.array([t - 40, t])[:, None])
+    got = np.asarray(flash_attention_packed(
+        qkv, h, valid, bias_table=table, hpp=4, interpret=interp),
+        np.float32)
+    q5 = np.asarray(qkv, np.float32).reshape(b, t, h, 3, d)
+    from tortoise_tpu.ops.relpos import relative_position_buckets, relpos_bias
+
+    buckets = jnp.asarray(relative_position_buckets(t, 32, 64))
+    bias = relpos_bias(table, buckets)  # (h, t, t) incl. the x8 scale
+    want = np.asarray(xla_attention(
+        jnp.asarray(q5[:, :, :, 0].transpose(0, 2, 1, 3)),
+        jnp.asarray(q5[:, :, :, 1].transpose(0, 2, 1, 3)),
+        jnp.asarray(q5[:, :, :, 2].transpose(0, 2, 1, 3)),
+        bias=bias, kv_valid=valid))
+    want = want.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    out["packed_flash_maxdiff"] = float(np.abs(got - want).max())
+
+    # 2) causal packed kernel (AR prefill/latent) vs XLA — NOTE this
+    # kernel's qkv layout is PART-MAJOR ([all q | all k | all v], each
+    # part h*D + d), unlike the diffusion kernel's per-head interleave
+    got = np.asarray(flash_attention_causal_qkv(
+        qkv, h, valid, interpret=interp), np.float32)
+    qc = np.asarray(qkv, np.float32)
+    hd = h * d
+    parts = [qc[:, :, i * hd : (i + 1) * hd]
+             .reshape(b, t, h, d).transpose(0, 2, 1, 3) for i in range(3)]
+    want = np.asarray(xla_attention(
+        jnp.asarray(parts[0]), jnp.asarray(parts[1]), jnp.asarray(parts[2]),
+        kv_valid=valid, causal=True))
+    want = want.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    out["causal_flash_maxdiff"] = float(np.abs(got - want).max())
+
+    # 3) fused int8 decode trunk (+ lm head) vs the XLA scan plane:
+    # production width/heads, 2 layers, small cache/vocab
+    cfg = ARConfig(n_layer=2, cache_len=256, n_mel_vocab=1024,
+                   n_text_vocab=64, n_text_pos=32, fused_decode=True,
+                   start_mel_token=1022, stop_mel_token=1023)
+    params = cast_matmul_weights(random_ar_params(cfg, seed=1, fast=True),
+                                 jnp.bfloat16, int8=True)
+    text = jnp.asarray(rng.integers(0, 64, (2, 12)), jnp.int32)
+    tvalid = jnp.ones((2, 12), bool)
+    vc = jnp.asarray(rng.normal(0, 0.5, (cfg.d_model,)), jnp.float32)
+    _, cache = ar.prefill(params, cfg, text, tvalid, vc, jnp.bfloat16)
+    toks = jnp.asarray([3, 5], jnp.int32)
+    cfg_off = dataclasses.replace(cfg, fused_decode=False)
+    l_fused, c_fused = ar.decode_step(params, cfg, cache, toks,
+                                      jnp.int32(0), jnp.bfloat16)
+    l_xla, c_xla = ar.decode_step(params, cfg_off, cache, toks,
+                                  jnp.int32(0), jnp.bfloat16)
+    out["decode_trunk_logits_maxdiff"] = float(
+        np.abs(np.asarray(l_fused) - np.asarray(l_xla)).max())
+    out["decode_trunk_kv_maxdiff"] = float(np.abs(
+        np.asarray(c_fused.k, np.float32)
+        - np.asarray(c_xla.k, np.float32)).max())
+
+    # thresholds ~10x observed-good (bf16 accumulation-order spread)
+    limits = {"packed_flash_maxdiff": 0.2, "causal_flash_maxdiff": 0.2,
+              "decode_trunk_logits_maxdiff": 0.5,
+              "decode_trunk_kv_maxdiff": 0.2}
+    out["ok"] = all(out[k] <= v for k, v in limits.items())
+    return out
+
+
 def main() -> int:
     small = os.environ.get("BENCH_SMALL") == "1"
     use_bf16 = os.environ.get("BENCH_F32") != "1"
@@ -236,6 +332,20 @@ def main() -> int:
     # compile on this backend (Mosaic regressions have version-skewed on
     # the tunneled dev slice before), fall back to the XLA decode plane
     # rather than losing the whole benchmark; the JSON discloses it.
+    if (not child and jax.default_backend() == "tpu"
+            and os.environ.get("BENCH_KERNEL_CHECK", "1") == "1"):
+        # explicit on-chip kernel-vs-XLA correctness gate: a Mosaic
+        # regression shows up as a red `kernel_check.ok` in the artifact
+        # instead of silently wrong audio (CPU tests only exercise the
+        # kernels in interpret mode)
+        try:
+            kc = kernel_selfcheck()
+        except Exception as e:
+            kc = {"ok": False, "error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps({"kernel_check": kc}), file=sys.stderr, flush=True)
+    else:
+        kc = None
+
     fused_fallback = None
     try:
         _, compile_wall = run(0)
@@ -300,6 +410,8 @@ def main() -> int:
     }
     line.update(sync_meta)
     line["int8_weights"] = int8
+    if kc is not None:
+        line["kernel_check"] = kc
     if fused_fallback:
         line["fused_fallback"] = fused_fallback
     line.update(roofline_stats(models, result, use_bf16, int8))

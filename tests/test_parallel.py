@@ -337,3 +337,42 @@ def test_fused_decode_dp_gates(monkeypatch):
     ar_stage.autoregressive_batch(
         params, tokens_list[:3], voices[:3], cfg, seed=1,
         compute_dtype=jnp.bfloat16, int8_weights=True, mesh=mesh)
+
+
+def test_diffusion_dp_sharded_bit_identical():
+    """The pure-dp shard_map diffusion plane must produce EXACTLY the
+    single-device mel: rows are independent and the global-draw-slice
+    noise discipline replays the same stream per row."""
+    from tortoise_tpu.config import tiny_diffusion_config
+    from tortoise_tpu.io.checkpoint import random_diffusion_params
+    from tortoise_tpu.pipeline import diffusion_stage as dst
+
+    cfg = tiny_diffusion_config()
+    params = random_diffusion_params(cfg, seed=1)
+    rng = np.random.default_rng(0)
+    lats = [rng.normal(0, 0.5, (10 + i % 3, cfg.d_model)).astype(np.float32)
+            for i in range(8)]
+
+    ref = dst.diffusion_batch(params, lats, cfg, seed=5)
+    mesh = make_mesh(8, shape=(8, 1))
+    got = dst.diffusion_batch(params, lats, cfg, seed=5, mesh=mesh)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_diffusion_tp_mesh_still_runs():
+    """tp>1 (or non-dividing batch) falls back to the partitionable XLA
+    plane — no shard_map, no error."""
+    from tortoise_tpu.config import tiny_diffusion_config
+    from tortoise_tpu.io.checkpoint import random_diffusion_params
+    from tortoise_tpu.pipeline import diffusion_stage as dst
+
+    cfg = tiny_diffusion_config()
+    params = random_diffusion_params(cfg, seed=1)
+    rng = np.random.default_rng(2)
+    lats = [rng.normal(0, 0.5, (9, cfg.d_model)).astype(np.float32)
+            for _ in range(4)]
+    mesh = make_mesh(8, shape=(4, 2))
+    out = dst.diffusion_batch(params, lats, cfg, seed=5, mesh=mesh)
+    assert all(np.isfinite(np.asarray(m)).all() for m in out)

@@ -199,18 +199,24 @@ def posterior_step(sched, cfg: DiffusionConfig, x, cond_mean, uncond_mean,
     return jnp.where(t > 0, sample, mean)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "variance_swap", "compute_dtype"),
-)
-def _diffusion_loop_jit(params, cfg, sched, code_emb2, x0_noise, out_buckets,
-                        out_mask, key, lo, hi, variance_swap=True,
-                        compute_dtype=None):
-    """Denoise loop steps [lo, hi) on device. x0_noise: (B, 100, Tpad) the
-    current sample; code_emb2: (2B, C, Tpad) = [cond rows | uncond rows];
-    returns ((B, 100, Tpad), key). lo/hi are traced, so progress-chunked
-    callers reuse one compilation for the whole range."""
+def _dp_draw(key, shape, dtype, axis_name, n_shards):
+    """Per-shard rows of a GLOBAL normal draw: every shard advances the
+    identical key chain and draws the full (B*n_shards, ...) matrix, then
+    slices its rows — jax draws are shape-keyed, so a shard drawing only
+    its local rows would sample a different stream than the single-device
+    run (same trick as ar_stage._generate_body.draw_u)."""
+    if axis_name is None:
+        return jax.random.normal(key, shape, dtype)
+    b = shape[0]
+    g = jax.random.normal(key, (b * n_shards,) + tuple(shape[1:]), dtype)
+    off = jax.lax.axis_index(axis_name) * b
+    return jax.lax.dynamic_slice_in_dim(g, off, b, axis=0)
 
+
+def _diffusion_loop_body(params, cfg, sched, code_emb2, x0_noise,
+                         out_buckets, out_mask, key, lo, hi,
+                         variance_swap=True, compute_dtype=None,
+                         axis_name=None, n_shards=1):
     def body(i, carry):
         x, key = carry
         b = x.shape[0]
@@ -222,7 +228,7 @@ def _diffusion_loop_jit(params, cfg, sched, code_emb2, x0_noise, out_buckets,
         cond_mean, var_frac = jnp.split(out[:b], 2, axis=1)
         uncond_mean = jnp.split(out[b:], 2, axis=1)[0]
         key, sub = jax.random.split(key)
-        noise = jax.random.normal(sub, x.shape, x.dtype)
+        noise = _dp_draw(sub, x.shape, x.dtype, axis_name, n_shards)
         x = posterior_step(sched, cfg, x, cond_mean, uncond_mean, var_frac,
                            t, noise, variance_swap)
         if out_mask is not None:
@@ -230,6 +236,98 @@ def _diffusion_loop_jit(params, cfg, sched, code_emb2, x0_noise, out_buckets,
         return x, key
 
     return jax.lax.fori_loop(lo, hi, body, (x0_noise, key))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "variance_swap", "compute_dtype"),
+)
+def _diffusion_loop_jit(params, cfg, sched, code_emb2, x0_noise, out_buckets,
+                        out_mask, key, lo, hi, variance_swap=True,
+                        compute_dtype=None):
+    """Denoise loop steps [lo, hi) on device. x0_noise: (B, 100, Tpad) the
+    current sample; code_emb2: (2B, C, Tpad) = [cond rows | uncond rows];
+    returns ((B, 100, Tpad), key). lo/hi are traced, so progress-chunked
+    callers reuse one compilation for the whole range."""
+    return _diffusion_loop_body(params, cfg, sched, code_emb2, x0_noise,
+                                out_buckets, out_mask, key, lo, hi,
+                                variance_swap, compute_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "out_len_pad", "variance_swap", "compute_dtype",
+                     "mesh", "have_lat_mask", "have_out_mask"),
+)
+def _diffusion_all_dp_jit(params, cfg, sched, lat_in, lat_buckets, lat_lens,
+                          out_lens, out_len_pad, lat_mask, out_buckets,
+                          out_mask, key, variance_swap, compute_dtype, mesh,
+                          have_lat_mask, have_out_mask):
+    """_diffusion_all_jit dp-sharded with shard_map: batch rows split
+    over the mesh's "dp" axis, weights replicated, each shard running
+    the flash-kernel denoise loop on its rows (a pallas_call cannot be
+    auto-partitioned by pjit — under plain jit a multi-device mesh would
+    force the kernel's dp-sharded operands to gather/replicate). Every
+    row is independent (no cross-row math anywhere in the stage), and
+    the global-draw-and-slice noise discipline makes the sharded mel
+    BIT-IDENTICAL to the single-device dispatch. Pure-dp meshes only;
+    masks ride as explicit arrays with static presence flags (shard_map
+    specs must match the arg pytree, so None can't be optional here)."""
+    from jax.sharding import PartitionSpec as P
+
+    P_rep = P()
+    dp = mesh.shape["dp"]
+
+    def body(params, sched, lat_in, lat_lens, out_lens, lat_mask,
+             out_mask, key):
+        lm = lat_mask if have_lat_mask else None
+        om = out_mask if have_out_mask else None
+        cond, uncond = dmodel.code_embeddings(
+            params, cfg, lat_in, lat_buckets, out_len_pad, lat_lens,
+            out_lens, lm, compute_dtype)
+        code_emb2 = jnp.concatenate([cond, uncond], axis=0)
+        b = lat_in.shape[0]
+        key, sub = jax.random.split(key)
+        noise = _dp_draw(sub, (b, cfg.n_mel, out_len_pad), jnp.float32,
+                         "dp", dp)
+        if om is not None:
+            noise = jnp.where(om[:, None, :], noise, 0.0)
+        x, _ = _diffusion_loop_body(
+            params, cfg, sched, code_emb2, noise, out_buckets, om, key,
+            jnp.int32(0), jnp.int32(cfg.n_sample_timesteps), variance_swap,
+            compute_dtype, axis_name="dp", n_shards=dp)
+        return x
+
+    b_total = lat_in.shape[0]
+    if lat_mask is None:
+        lat_mask = jnp.ones((b_total, lat_in.shape[1]), bool)
+    if out_mask is None:
+        out_mask = jnp.ones((b_total, out_len_pad), bool)
+    pspec = jax.tree.map(lambda _: P_rep, params)
+    sspec = jax.tree.map(lambda _: P_rep, sched)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, sspec, P("dp", None, None), P("dp"), P("dp"),
+                  P("dp", None), P("dp", None), P_rep),
+        out_specs=P("dp", None, None),
+        check_vma=False,
+    )
+    return fn(params, sched, lat_in, lat_lens, out_lens, lat_mask,
+              out_mask, key)
+
+
+def _dp_mesh_size(mesh) -> int:
+    import numpy as _np
+
+    return 0 if mesh is None else int(_np.prod(mesh.devices.shape))
+
+
+def _pure_dp(mesh, b: int) -> bool:
+    """True when the mesh is dp-only and the batch splits evenly — the
+    shard_map diffusion plane's requirements."""
+    n = _dp_mesh_size(mesh)
+    dp = mesh.shape.get("dp", 1) if mesh is not None else 1
+    return n > 1 and n == dp and b % dp == 0
 
 
 @functools.partial(
@@ -299,6 +397,14 @@ def diffusion_batch(
     lat_mask_opt = None if lat_mask.all() else lat_mask
     out_mask_opt = None if out_mask.all() else out_mask
 
+    use_dp = _pure_dp(mesh, b) and progress is None
+    if _dp_mesh_size(mesh) > 1 and not use_dp:
+        # tp (or a batch dp can't split, or the progress-chunked path):
+        # the flash pallas_call cannot be auto-partitioned by pjit —
+        # take the XLA attention plane, which partitions cleanly
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, use_flash=False)
     lat_buckets = _buckets_dev(lat_pad, cfg.rel_pos_buckets,
                                cfg.rel_pos_max_distance)
     out_buckets = _buckets_dev(out_pad, cfg.rel_pos_buckets,
@@ -313,7 +419,19 @@ def diffusion_batch(
         out_mask_sh = None if out_mask_opt is None \
             else place_batch(out_mask_opt, mesh)
         n = cfg.n_sample_timesteps
-        if progress is None:
+        if use_dp:
+            # pure-dp mesh: keep the flash kernel per shard (shard_map);
+            # bit-identical to the single-device dispatch
+            x = _diffusion_all_dp_jit(
+                params, cfg, sched, place_batch(lat_in, mesh), lat_buckets,
+                place_batch(lat_lens, mesh), place_batch(out_lens, mesh),
+                out_pad,
+                None if lat_mask_opt is None
+                else place_batch(lat_mask_opt, mesh),
+                out_buckets, out_mask_sh, key, variance_swap, compute_dtype,
+                mesh, lat_mask_opt is not None, out_mask_opt is not None,
+            )
+        elif progress is None:
             # single dispatch: conditioner + noise + whole loop
             x = _diffusion_all_jit(
                 params, cfg, sched, place_batch(lat_in, mesh), lat_buckets,
@@ -399,17 +517,38 @@ def diffusion_batch_device(
                                cfg.rel_pos_max_distance)
     sched = _schedule_arrays(cfg)
 
+    use_dp = _pure_dp(mesh, b)
+    if _dp_mesh_size(mesh) > 1 and not use_dp:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, use_flash=False)
     with mesh_context(mesh):
         key = jax.random.PRNGKey(seed)
-        mel_dev = _diffusion_all_jit(
-            params, cfg, sched, lat_in, lat_buckets,
-            place_batch(lat_lens, mesh), place_batch(out_lens, mesh),
-            out_pad,
-            None if lat_mask_opt is None else place_batch(lat_mask_opt, mesh),
-            out_buckets,
-            None if out_mask_opt is None else place_batch(out_mask_opt, mesh),
-            key, variance_swap, compute_dtype,
-        )
+        if use_dp:
+            mel_dev = _diffusion_all_dp_jit(
+                params, cfg, sched, lat_in, lat_buckets,
+                place_batch(lat_lens, mesh), place_batch(out_lens, mesh),
+                out_pad,
+                None if lat_mask_opt is None
+                else place_batch(lat_mask_opt, mesh),
+                out_buckets,
+                None if out_mask_opt is None
+                else place_batch(out_mask_opt, mesh),
+                key, variance_swap, compute_dtype, mesh,
+                lat_mask_opt is not None, out_mask_opt is not None,
+            )
+        else:
+            mel_dev = _diffusion_all_jit(
+                params, cfg, sched, lat_in, lat_buckets,
+                place_batch(lat_lens, mesh), place_batch(out_lens, mesh),
+                out_pad,
+                None if lat_mask_opt is None
+                else place_batch(lat_mask_opt, mesh),
+                out_buckets,
+                None if out_mask_opt is None
+                else place_batch(out_mask_opt, mesh),
+                key, variance_swap, compute_dtype,
+            )
     return mel_dev, out_lens
 
 
