@@ -252,3 +252,44 @@ def test_submit_rejects_bad_sampler(models, voice):
             server.submit(tokens=[1, 4, 0], top_k=0)
         with pytest.raises(ValueError):
             server.submit(tokens=[1, 4, 0], top_p_drop=1.5)
+
+
+def test_stream_endpoint(models, voice):
+    """server.stream() yields ordered finalized chunks whose
+    concatenation is a whole utterance; streams are counted separately
+    from batches and coexist with queued batch traffic (the device lock
+    serializes them rather than interleaving dispatch)."""
+    rng = np.random.default_rng(5)
+    toks = _tokens(rng, 5)
+    server = serve.SynthesisServer(models, max_batch=2, max_wait_ms=50,
+                                   default_voice=voice)
+    with server:
+        # a batched request in flight while the stream runs
+        fut = server.submit(tokens=_tokens(rng, 4), seed=3)
+        chunks = list(server.stream(tokens=toks, seed=7,
+                                    window_frames=24, overlap_frames=8,
+                                    first_window_frames=16))
+        batch_result = fut.result(timeout=600)
+    assert chunks and chunks[-1].final
+    assert all(not c.final for c in chunks[:-1])
+    starts = [c.start_sample for c in chunks]
+    assert starts[0] == 0 and starts == sorted(starts)
+    total = np.concatenate([c.audio for c in chunks])
+    assert len(total) > 0 and total.dtype == np.float32
+    assert len(batch_result.audio) > 0
+    st = server.stats()
+    assert st.get("streams") == 1
+    assert st["rows"] == 1  # the stream is NOT a batch row
+
+
+def test_stream_validation(models, voice):
+    server = serve.SynthesisServer(models)  # no default voice
+    with pytest.raises(RuntimeError):
+        server.stream(tokens=[1, 4, 0])  # not started
+    with server:
+        with pytest.raises(ValueError):
+            server.stream()  # neither message nor tokens
+        with pytest.raises(ValueError):
+            server.stream(tokens=[1, 4, 0])  # no voice
+        with pytest.raises(ValueError):
+            server.stream(tokens=[1, 4, 0], voice=voice, temperature=0.0)

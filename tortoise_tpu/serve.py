@@ -111,6 +111,10 @@ class SynthesisServer:
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self._lock = threading.Lock()
+        # serializes device work between the batch worker and streaming
+        # requests: interleaved dispatch is correct but doubles both
+        # paths' latency; a stream holds this for its whole utterance
+        self._device_lock = threading.Lock()
         self._closed = True  # flipped by start()/stop() under _lock
         self._stats = {"batches": 0, "rows": 0, "padded_rows": 0,
                        "failed_batches": 0}
@@ -232,6 +236,60 @@ class SynthesisServer:
             self._queue.put(req)
         return req.future
 
+    def stream(self, message: Optional[str] = None,
+               tokens: Optional[Sequence[int]] = None,
+               voice=None, seed: int = 0,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p_drop: Optional[float] = None,
+               repetition_penalty: Optional[float] = None,
+               window_frames: int = 352, overlap_frames: int = 32,
+               first_window_frames: Optional[int] = 128):
+        """Streaming synthesis: yields pipeline.streaming.StreamChunk
+        objects as audio finalizes (first chunk ~= time-to-first-audio).
+        Bypasses dynamic batching (a stream cannot batch) and holds the
+        server's device lock for the stream's duration — queued batches
+        wait. Validation mirrors submit()."""
+        if self._worker is None:
+            raise RuntimeError("server not started")
+        from tortoise_tpu.pipeline.ar_stage import normalize_sampler
+        from tortoise_tpu.pipeline.streaming import stream_synthesize
+
+        overrides = {k: v for k, v in (
+            ("temperature", temperature), ("top_k", top_k),
+            ("top_p_drop", top_p_drop),
+            ("repetition_penalty", repetition_penalty)) if v is not None}
+        sampler = normalize_sampler(overrides or None)
+        if tokens is None:
+            if message is None:
+                raise ValueError("pass message or tokens")
+            if self.models.tokenizer is None:
+                raise ValueError("models have no tokenizer; pass tokens")
+            tokens = self.models.tokenizer.encode_pipeline(message)
+        tokens = list(map(int, tokens))
+        voice_arr = (self._load_voice(voice) if voice is not None
+                     else self.default_voice)
+        if voice_arr is None:
+            raise ValueError("no voice given and no default_voice set")
+
+        def gen():
+            with self._device_lock:
+                n = 0
+                for chunk in stream_synthesize(
+                        self.models, tokens=tokens, voice=voice_arr,
+                        seed=int(seed), compute_dtype=self.compute_dtype,
+                        int8_weights=self.int8_weights,
+                        window_frames=window_frames,
+                        overlap_frames=overlap_frames,
+                        first_window_frames=first_window_frames,
+                        sampler_params=sampler):
+                    n += 1
+                    yield chunk
+            with self._lock:
+                self._stats["streams"] = self._stats.get("streams", 0) + 1
+
+        return gen()
+
     def stats(self) -> dict:
         with self._lock:
             s = dict(self._stats)
@@ -338,17 +396,8 @@ class SynthesisServer:
         bucket = self._bucket(n)
         rows = batch + [batch[-1]] * (bucket - n)  # repeat-pad rows
         try:
-            results = synthesize_batch(
-                self.models,
-                tokens_list=[r.tokens for r in rows],
-                voices=[r.voice for r in rows],
-                seed=batch[0].seed,
-                compute_dtype=self.compute_dtype,
-                int8_weights=self.int8_weights,
-                mesh=self.mesh,
-                materialize=False,
-                sampler_params=sampler,
-            )
+            with self._device_lock:
+                results = self._synthesize_rows(rows, batch[0].seed, sampler)
         except Exception as e:  # resolve, don't kill the worker
             for r in batch:
                 r.future.set_exception(e)
@@ -361,6 +410,19 @@ class SynthesisServer:
                 self._stats["batches"] += 1
                 self._stats["rows"] += n
                 self._stats["padded_rows"] += bucket - n
+
+    def _synthesize_rows(self, rows, seed, sampler):
+        return synthesize_batch(
+            self.models,
+            tokens_list=[r.tokens for r in rows],
+            voices=[r.voice for r in rows],
+            seed=seed,
+            compute_dtype=self.compute_dtype,
+            int8_weights=self.int8_weights,
+            mesh=self.mesh,
+            materialize=False,
+            sampler_params=sampler,
+        )
 
 
 # -- HTTP front-end (stdlib only) -----------------------------------------
