@@ -282,6 +282,51 @@ def test_stream_endpoint(models, voice):
     assert st["rows"] == 1  # the stream is NOT a batch row
 
 
+def test_http_stream_endpoint(models, voice):
+    """POST /stream returns a chunked streaming-WAV body: the
+    unknown-length RIFF header followed by float32 frames, decodable as
+    one utterance; bad input still gets a clean 400 (validation runs
+    before the 200 goes out)."""
+    rng = np.random.default_rng(8)
+    server = serve.SynthesisServer(models, max_batch=2, max_wait_ms=10,
+                                   default_voice=voice)
+    server.start()
+    httpd = serve.make_http_server(server, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/stream",
+                     json.dumps({"tokens": _tokens(rng, 5), "seed": 2,
+                                 "window_frames": 24,
+                                 "overlap_frames": 8,
+                                 "first_window_frames": 16}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "audio/wav"
+        assert resp.getheader("Transfer-Encoding") == "chunked"
+        body = resp.read()  # http.client reassembles the chunks
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        assert body[12:16] == b"fmt " and body[36:40] == b"data"
+        # unknown-length streaming sizes
+        assert body[4:8] == b"\xff\xff\xff\xff"
+        samples = np.frombuffer(body[44:], dtype=np.float32)
+        assert len(samples) > 0 and np.all(np.isfinite(samples))
+
+        conn.request("POST", "/stream", json.dumps({"temperature": 0.0}),
+                     {"Content-Type": "application/json"})
+        bad = conn.getresponse()
+        assert bad.status == 400
+        assert "error" in json.loads(bad.read())
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        server.stop()
+    assert server.stats().get("streams") == 1
+
+
 def test_stream_validation(models, voice):
     server = serve.SynthesisServer(models)  # no default voice
     with pytest.raises(RuntimeError):

@@ -35,6 +35,23 @@ def wav_bytes(data: np.ndarray, sample_rate: int = 24000) -> bytes:
     return header + payload
 
 
+def streaming_wav_header(sample_rate: int = 24000) -> bytes:
+    """RIFF header for a stream whose length isn't known upfront.
+
+    Same layout as wav_bytes (mono IEEE-float PCM) with the RIFF and
+    data chunk sizes set to 0xFFFFFFFF — the de-facto streaming-WAV
+    convention: players read samples until the transport ends. Append
+    raw float32 frames after this header.
+    """
+    return struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 0xFFFFFFFF, b"WAVE",
+        b"fmt ", 16, _WAVE_FORMAT_IEEE_FLOAT, 1,
+        sample_rate, sample_rate * 4, 4, 32,
+        b"data", 0xFFFFFFFF,
+    )
+
+
 def write_wav(path: str, data: np.ndarray, sample_rate: int = 24000) -> None:
     with open(path, "wb") as f:
         f.write(wav_bytes(data, sample_rate))

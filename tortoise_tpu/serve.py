@@ -438,15 +438,29 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
                        "temperature"/"top_k"/"top_p_drop"/
                        "repetition_penalty": optional sampler overrides}
                                                -> 200 audio/wav
+    POST /stream      same body, plus optional "window_frames" /
+                      "overlap_frames" / "first_window_frames"
+                                               -> 200 audio/wav,
+                      Transfer-Encoding: chunked — a streaming-WAV
+                      header (unknown-length sizes) followed by float32
+                      frames as each audio span finalizes; the first
+                      chunk arrives at time-to-first-audio, long before
+                      the utterance completes
     GET  /healthz                              -> 200 application/json
 
     Invalid input fails at submit time with 400 (only the offending
-    request); a synthesis-side failure surfaces as 500. `seed` seeds the
-    batch the request lands in (see SynthesisServer.submit).
+    request); a synthesis-side failure surfaces as 500 (or, mid-stream,
+    as a truncated chunked body — the only option once the 200 is out).
+    `seed` seeds the batch the request lands in (see
+    SynthesisServer.submit).
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (the /stream endpoint) requires HTTP/1.1;
+        # every non-chunked response already sends Content-Length
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *args):  # quiet by default
             pass
 
@@ -463,12 +477,57 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
                 return self._json(404, {"error": "not found"})
             self._json(200, {"ok": True, "stats": server.stats()})
 
+        def _chunk(self, payload: bytes) -> None:
+            self.wfile.write(f"{len(payload):x}\r\n".encode())
+            self.wfile.write(payload)
+            self.wfile.write(b"\r\n")
+
+        def _do_stream(self, req: dict) -> None:
+            from tortoise_tpu.io.wav import streaming_wav_header
+
+            try:
+                kw = {k: int(req[k]) for k in
+                      ("window_frames", "overlap_frames",
+                       "first_window_frames") if k in req}
+                # validation (tokens/voice/sampler) runs eagerly, before
+                # any device work, so bad input still gets a clean 400
+                chunks = server.stream(
+                    message=req.get("message"), tokens=req.get("tokens"),
+                    voice=req.get("voice"), seed=int(req.get("seed", 0)),
+                    temperature=req.get("temperature"),
+                    top_k=req.get("top_k"),
+                    top_p_drop=req.get("top_p_drop"),
+                    repetition_penalty=req.get("repetition_penalty"),
+                    **kw)
+            except Exception as e:
+                return self._json(400, {"error": str(e)})
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            sr = server.models.vocoder_cfg.sample_rate
+            try:
+                self._chunk(streaming_wav_header(sr))
+                for c in chunks:
+                    self._chunk(np.asarray(c.audio, np.float32).tobytes())
+                self._chunk(b"")  # terminating 0-length chunk
+            except Exception:
+                # the 200 is already on the wire; drop the connection so
+                # the client sees a truncated chunked body, not silence
+                self.close_connection = True
+                raise
+
         def do_POST(self):
-            if self.path != "/synthesize":
+            if self.path not in ("/synthesize", "/stream"):
                 return self._json(404, {"error": "not found"})
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
+            except Exception as e:
+                return self._json(400, {"error": str(e)})
+            if self.path == "/stream":
+                return self._do_stream(req)
+            try:
                 fut = server.submit(
                     message=req.get("message"), tokens=req.get("tokens"),
                     voice=req.get("voice"), seed=int(req.get("seed", 0)),
