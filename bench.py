@@ -502,7 +502,7 @@ def main() -> int:
                 bres, w = run_batch(1, stage_sync=True)
                 return bres[0].timings, w, bres
 
-            rs_sync, btim, bsync_wall, bsync_meta = checked_sync(
+            _, btim, bsync_wall, bsync_meta = checked_sync(
                 run_batch_sync)
             btotal = sum(len(r.audio) / r.sample_rate for r in rs)
             line["batched"][str(bsz)] = {

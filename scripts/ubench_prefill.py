@@ -81,7 +81,12 @@ def main():
         va = jnp.asarray(voice)
         ma = jnp.asarray(mel)
         for flash in (False, True):
-            cfg = dataclasses.replace(cfg0, flash_prefill=flash)
+            # min_score=0 forces the flash rows onto the flash plane at
+            # every (B, S); the default gate (flash_prefill_min_score)
+            # would silently run the XLA plane for small B*S^2 and the
+            # A/B would compare identical programs
+            cfg = dataclasses.replace(cfg0, flash_prefill=flash,
+                                      flash_prefill_min_score=0)
             tag = "flash" if flash else "xla  "
             try:
                 tp = timed(_prefill_jit, params, cfg, *targs, va, cd)

@@ -338,3 +338,53 @@ def test_stream_validation(models, voice):
             server.stream(tokens=[1, 4, 0])  # no voice
         with pytest.raises(ValueError):
             server.stream(tokens=[1, 4, 0], voice=voice, temperature=0.0)
+        # stream() validates EAGERLY (same contract as submit()): each of
+        # these must raise at call time, before any generator is
+        # consumed and before any device work — the HTTP 400 path
+        # depends on it (the 200 + chunked header goes out on first
+        # yield).
+        with pytest.raises(ValueError):
+            server.stream(tokens=[], voice=voice)  # empty
+        with pytest.raises(ValueError):
+            server.stream(tokens=[999_999], voice=voice)  # out of vocab
+        with pytest.raises(ValueError):
+            server.stream(tokens=[1, 4, 0], voice=voice,
+                          window_frames=16, overlap_frames=16)  # ov >= w
+        with pytest.raises(ValueError):
+            server.stream(tokens=[1, 4, 0], voice=voice,
+                          window_frames=24, overlap_frames=8,
+                          first_window_frames=8)  # first <= ov
+        with pytest.raises(ValueError):
+            server.stream(tokens=[1, 4, 0], voice=voice,
+                          vocoder_margin=-1)  # negative margin
+
+
+def test_stream_does_not_starve_batches(models, voice):
+    """The device lock is released while a chunk is with the consumer: a
+    stream paused mid-consumption (a slow client) must not block queued
+    batch traffic (serve.py holds _device_lock only inside next())."""
+    rng = np.random.default_rng(11)
+    server = serve.SynthesisServer(models, max_batch=2, max_wait_ms=10,
+                                   default_voice=voice)
+    with server:
+        # windows + vocoder margin far smaller than the tiny model's mel
+        # length so the utterance spans SEVERAL chunks (the default
+        # 32-frame margin exceeds the whole tiny mel, which would
+        # collapse the stream to one final chunk and trivially pass:
+        # the generator would finish before the pause)
+        gen = server.stream(tokens=_tokens(rng, 5), seed=1,
+                            window_frames=8, overlap_frames=2,
+                            first_window_frames=4, vocoder_margin=2)
+        first = next(gen)  # stream started; consumer now stalls
+        assert len(first.audio) > 0
+        # with the generator suspended at yield, a batched request must
+        # still complete — before the stream is consumed any further
+        fut = server.submit(tokens=_tokens(rng, 4), seed=2)
+        res = fut.result(timeout=600)
+        assert len(res.audio) > 0
+        rest = list(gen)  # now drain the stream
+    assert rest and rest[-1].final
+    st = server.stats()
+    assert st.get("streams") == 1
+    assert st.get("streams_completed") == 1
+    assert st["rows"] == 1

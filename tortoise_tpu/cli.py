@@ -234,6 +234,13 @@ def main(argv=None) -> int:
               file=sys.stderr)
 
     if args.stream:
+        if args.sampler != "jax" or args.batch_size != 1:
+            # mirror the --messages-file guard: rejecting beats silently
+            # sampling differently from what the user asked for
+            raise SystemExit(
+                "--stream is the single-candidate jax-sampler path; "
+                "--sampler reference and --batch-size apply to the "
+                "one-shot --message path")
         import time as _time
 
         from tortoise_tpu.io.wav import write_wav

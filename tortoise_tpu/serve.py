@@ -113,7 +113,9 @@ class SynthesisServer:
         self._lock = threading.Lock()
         # serializes device work between the batch worker and streaming
         # requests: interleaved dispatch is correct but doubles both
-        # paths' latency; a stream holds this for its whole utterance
+        # paths' latency. A stream re-acquires this per chunk (released
+        # while the chunk is with the client), so batches and stream
+        # windows interleave rather than one starving the other.
         self._device_lock = threading.Lock()
         self._closed = True  # flipped by start()/stop() under _lock
         self._stats = {"batches": 0, "rows": 0, "padded_rows": 0,
@@ -193,7 +195,93 @@ class SynthesisServer:
         would have joined."""
         if self._worker is None:
             raise RuntimeError("server not started")
-        from tortoise_tpu.pipeline.ar_stage import normalize_sampler
+        tokens, voice_arr, sampler = self._normalize_request(
+            message, tokens, voice, temperature, top_k, top_p_drop,
+            repetition_penalty)
+        req = _Request(tokens, voice_arr, int(seed), sampler)
+        with self._lock:
+            if self._closed or self._worker is None:
+                raise RuntimeError("server not started")
+            self._queue.put(req)
+        return req.future
+
+    def stream(self, message: Optional[str] = None,
+               tokens: Optional[Sequence[int]] = None,
+               voice=None, seed: int = 0,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p_drop: Optional[float] = None,
+               repetition_penalty: Optional[float] = None,
+               window_frames: int = 352, overlap_frames: int = 32,
+               first_window_frames: Optional[int] = 128,
+               vocoder_margin: int = 32):
+        """Streaming synthesis: yields pipeline.streaming.StreamChunk
+        objects as audio finalizes (first chunk ~= time-to-first-audio).
+        Bypasses dynamic batching (a stream cannot batch). The server's
+        device lock is held only while a chunk is being COMPUTED and is
+        released while the chunk is in the caller's hands — a slow or
+        stalled consumer cannot starve queued batches, though batches
+        and stream windows interleave on the device. Validation mirrors
+        submit(): all inputs (including the window geometry) are checked
+        eagerly, before any device work, so the HTTP layer's 400 path
+        fires before the response status is committed."""
+        if self._worker is None:
+            raise RuntimeError("server not started")
+        from tortoise_tpu.pipeline.streaming import stream_synthesize
+
+        tokens, voice_arr, sampler = self._normalize_request(
+            message, tokens, voice, temperature, top_k, top_p_drop,
+            repetition_penalty)
+        # Window geometry checks mirror streaming.stream_mel_windows;
+        # failing here (eagerly) beats failing after a full AR pass.
+        w, ov = int(window_frames), int(overlap_frames)
+        if w <= 0 or ov < 0 or ov >= w:
+            raise ValueError(f"need window_frames > overlap_frames >= 0, "
+                             f"got {window_frames}/{overlap_frames}")
+        if first_window_frames is not None and int(first_window_frames) <= ov:
+            raise ValueError(
+                f"first_window_frames={first_window_frames} must exceed "
+                f"overlap_frames={ov}")
+        margin = int(vocoder_margin)
+        if margin < 0:
+            raise ValueError(f"vocoder_margin must be >= 0, got {margin}")
+
+        def gen():
+            with self._lock:
+                self._stats["streams"] = self._stats.get("streams", 0) + 1
+            it = stream_synthesize(
+                self.models, tokens=tokens, voice=voice_arr,
+                seed=int(seed), compute_dtype=self.compute_dtype,
+                int8_weights=self.int8_weights,
+                window_frames=w, overlap_frames=ov,
+                vocoder_margin=margin,
+                first_window_frames=first_window_frames,
+                sampler_params=sampler)
+            while True:
+                # device work happens inside next(); the yield below runs
+                # with the lock RELEASED, so client backpressure never
+                # holds the device hostage.
+                with self._device_lock:
+                    try:
+                        chunk = next(it)
+                    except StopIteration:
+                        break
+                yield chunk
+            with self._lock:
+                self._stats["streams_completed"] = (
+                    self._stats.get("streams_completed", 0) + 1)
+
+        return gen()
+
+    def _normalize_request(self, message, tokens, voice, temperature,
+                           top_k, top_p_drop, repetition_penalty):
+        """Shared submit()/stream() request normalization: resolve and
+        validate tokens, voice, and per-request sampler overrides.
+        Returns (tokens, voice_arr, sampler)."""
+        from tortoise_tpu.pipeline.ar_stage import (
+            TEXT_BUCKETS,
+            normalize_sampler,
+        )
 
         overrides = {k: v for k, v in (
             ("temperature", temperature), ("top_k", top_k),
@@ -209,8 +297,6 @@ class SynthesisServer:
         tokens = list(map(int, tokens))
         if not tokens:
             raise ValueError("empty token sequence")
-        from tortoise_tpu.pipeline.ar_stage import TEXT_BUCKETS
-
         if len(tokens) > max(TEXT_BUCKETS):
             raise ValueError(
                 f"text too long: {len(tokens)} tokens > bucket max "
@@ -229,66 +315,7 @@ class SynthesisServer:
             raise ValueError(
                 f"voice latent must have shape ({d},), got "
                 f"{voice_arr.shape}")
-        req = _Request(tokens, voice_arr, int(seed), sampler)
-        with self._lock:
-            if self._closed or self._worker is None:
-                raise RuntimeError("server not started")
-            self._queue.put(req)
-        return req.future
-
-    def stream(self, message: Optional[str] = None,
-               tokens: Optional[Sequence[int]] = None,
-               voice=None, seed: int = 0,
-               temperature: Optional[float] = None,
-               top_k: Optional[int] = None,
-               top_p_drop: Optional[float] = None,
-               repetition_penalty: Optional[float] = None,
-               window_frames: int = 352, overlap_frames: int = 32,
-               first_window_frames: Optional[int] = 128):
-        """Streaming synthesis: yields pipeline.streaming.StreamChunk
-        objects as audio finalizes (first chunk ~= time-to-first-audio).
-        Bypasses dynamic batching (a stream cannot batch) and holds the
-        server's device lock for the stream's duration — queued batches
-        wait. Validation mirrors submit()."""
-        if self._worker is None:
-            raise RuntimeError("server not started")
-        from tortoise_tpu.pipeline.ar_stage import normalize_sampler
-        from tortoise_tpu.pipeline.streaming import stream_synthesize
-
-        overrides = {k: v for k, v in (
-            ("temperature", temperature), ("top_k", top_k),
-            ("top_p_drop", top_p_drop),
-            ("repetition_penalty", repetition_penalty)) if v is not None}
-        sampler = normalize_sampler(overrides or None)
-        if tokens is None:
-            if message is None:
-                raise ValueError("pass message or tokens")
-            if self.models.tokenizer is None:
-                raise ValueError("models have no tokenizer; pass tokens")
-            tokens = self.models.tokenizer.encode_pipeline(message)
-        tokens = list(map(int, tokens))
-        voice_arr = (self._load_voice(voice) if voice is not None
-                     else self.default_voice)
-        if voice_arr is None:
-            raise ValueError("no voice given and no default_voice set")
-
-        def gen():
-            with self._device_lock:
-                n = 0
-                for chunk in stream_synthesize(
-                        self.models, tokens=tokens, voice=voice_arr,
-                        seed=int(seed), compute_dtype=self.compute_dtype,
-                        int8_weights=self.int8_weights,
-                        window_frames=window_frames,
-                        overlap_frames=overlap_frames,
-                        first_window_frames=first_window_frames,
-                        sampler_params=sampler):
-                    n += 1
-                    yield chunk
-            with self._lock:
-                self._stats["streams"] = self._stats.get("streams", 0) + 1
-
-        return gen()
+        return tokens, voice_arr, sampler
 
     def stats(self) -> dict:
         with self._lock:
@@ -439,7 +466,8 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
                        "repetition_penalty": optional sampler overrides}
                                                -> 200 audio/wav
     POST /stream      same body, plus optional "window_frames" /
-                      "overlap_frames" / "first_window_frames"
+                      "overlap_frames" / "first_window_frames" /
+                      "vocoder_margin"
                                                -> 200 audio/wav,
                       Transfer-Encoding: chunked — a streaming-WAV
                       header (unknown-length sizes) followed by float32
@@ -488,7 +516,8 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
             try:
                 kw = {k: int(req[k]) for k in
                       ("window_frames", "overlap_frames",
-                       "first_window_frames") if k in req}
+                       "first_window_frames", "vocoder_margin")
+                      if k in req}
                 # validation (tokens/voice/sampler) runs eagerly, before
                 # any device work, so bad input still gets a clean 400
                 chunks = server.stream(
