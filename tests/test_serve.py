@@ -388,3 +388,60 @@ def test_stream_does_not_starve_batches(models, voice):
     assert st.get("streams") == 1
     assert st.get("streams_completed") == 1
     assert st["rows"] == 1
+
+
+def test_stream_aborts_after_stop(models, voice):
+    """A stream in flight when stop() lands aborts with RuntimeError at
+    its next chunk instead of running device work (potentially minutes)
+    against a stopped server; a stream admitted after stop() is rejected
+    at call time."""
+    rng = np.random.default_rng(13)
+    server = serve.SynthesisServer(models, default_voice=voice)
+    server.start()
+    gen = server.stream(tokens=_tokens(rng, 5), seed=1,
+                        window_frames=8, overlap_frames=2,
+                        first_window_frames=4, vocoder_margin=2)
+    first = next(gen)  # stream mid-flight
+    assert len(first.audio) > 0
+    server.stop()
+    with pytest.raises(RuntimeError):
+        next(gen)
+    with pytest.raises(RuntimeError):
+        server.stream(tokens=_tokens(rng, 4), seed=2)  # post-stop admit
+    assert server.stats().get("streams_completed") is None
+
+
+def test_http_stream_null_first_window(models, voice):
+    """JSON null on first_window_frames selects the library's uniform
+    window behavior (None) — a 200, not an int(None) 400; null on any
+    other geometry key is a clean 400 naming the field."""
+    server = serve.SynthesisServer(models, default_voice=voice)
+    server.start()
+    httpd = serve.make_http_server(server, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    rng = np.random.default_rng(17)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/stream",
+                     json.dumps({"tokens": _tokens(rng, 4), "seed": 3,
+                                 "window_frames": 24, "overlap_frames": 8,
+                                 "first_window_frames": None}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200 and body[:4] == b"RIFF"
+
+        conn.request("POST", "/stream",
+                     json.dumps({"tokens": _tokens(rng, 4),
+                                 "window_frames": None}),
+                     {"Content-Type": "application/json"})
+        bad = conn.getresponse()
+        err = json.loads(bad.read())
+        assert bad.status == 400
+        assert "window_frames" in err["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        server.stop()

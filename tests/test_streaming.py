@@ -197,3 +197,33 @@ def test_mel_first_window_variant():
         list(st.stream_mel_windows(params, cfg, lat, keep, seed=9,
                                    window_frames=24, overlap_frames=8,
                                    first_window_frames=8))
+    # 0 must be rejected like any other <= ov value, not silently
+    # coerced to window_frames by a falsy-or
+    with pytest.raises(ValueError):
+        list(st.stream_mel_windows(params, cfg, lat, keep, seed=9,
+                                   window_frames=24, overlap_frames=8,
+                                   first_window_frames=0))
+
+
+def test_mel_first_window_clamped_short_utterance():
+    """first_window_frames larger than the whole (padded) timeline is
+    clamped to a single global window — NOT a spurious ValueError from
+    comparing the clamped width against overlap_frames (the crossfade is
+    never used when only one window exists)."""
+    cfg = tiny_diffusion_config()
+    params = random_diffusion_params(cfg, seed=2)
+    rng = np.random.default_rng(7)
+    keep = 14
+    out_len = mel_length_for_latents(keep)
+    out_pad = round_up(out_len, dst.OUT_BUCKET)
+    lat = jnp.asarray(rng.normal(0, 0.5, (1, 16, cfg.d_model)), jnp.float32)
+    # raw first (out_pad + 64) passes the raw-vs-ov check, clamps to
+    # out_pad <= ov + ... — regression for the old post-clamp check
+    spans = list(st.stream_mel_windows(
+        params, cfg, lat, keep, seed=9, window_frames=out_pad + 128,
+        overlap_frames=out_pad - 1, first_window_frames=out_pad + 64))
+    assert len(spans) == 1
+    s, e, block = spans[0]
+    assert (s, e) == (0, out_len)
+    assert block.shape == (cfg.n_mel, out_len)
+    assert np.isfinite(block).all()

@@ -219,6 +219,28 @@ def test_cli_raw_tokens(monkeypatch, tmp_path):
         cli.main(["--random-weights", "--tiny", "--tokens", " , "])
 
 
+def test_cli_conflicting_mode_flags(tmp_path):
+    """--messages-file rejects --stream and --tokens loudly (it would
+    otherwise silently run the one-shot batched path and ignore them),
+    and --stream rejects the batched-path-only flags."""
+    from tortoise_tpu import cli
+
+    mfile = tmp_path / "m.txt"
+    mfile.write_text("hello\n")
+    with pytest.raises(SystemExit):
+        cli.main(["--random-weights", "--tiny",
+                  "--messages-file", str(mfile), "--stream"])
+    with pytest.raises(SystemExit):
+        cli.main(["--random-weights", "--tiny",
+                  "--messages-file", str(mfile), "--tokens", "4,5,0"])
+    with pytest.raises(SystemExit):
+        cli.main(["--random-weights", "--tiny", "--message", "hi",
+                  "--stream", "--sampler", "reference"])
+    with pytest.raises(SystemExit):
+        cli.main(["--random-weights", "--tiny", "--message", "hi",
+                  "--stream", "--batch-size", "2"])
+
+
 def test_device_path_matches_legacy(models):
     """The device-resident stage handoff (progress=None) must produce the
     same audio/mel as the legacy host-boundary path (forced via a progress

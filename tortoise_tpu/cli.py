@@ -182,6 +182,12 @@ def main(argv=None) -> int:
             raise SystemExit(
                 "--messages-file is the batched jax-sampler path; "
                 "--sampler reference and --batch-size apply to --message")
+        if args.stream or args.tokens is not None:
+            # reject rather than silently run the one-shot batched path
+            # (--stream would never stream; --tokens would be ignored)
+            raise SystemExit(
+                "--messages-file conflicts with --stream and --tokens; "
+                "they apply to the single-utterance path")
         from tortoise_tpu.pipeline.synthesize import synthesize_batch
 
         with open(args.messages_file) as f:

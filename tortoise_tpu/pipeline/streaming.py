@@ -140,10 +140,18 @@ def stream_mel_windows(params, cfg: DiffusionConfig, latents_dev, keep_len,
     ramp = (np.arange(1, ov + 1, dtype=np.float32) / (ov + 1))[None, :] \
         if ov else None
 
-    w0 = min(int(first_window_frames or w), out_pad)
-    if first_window_frames is not None and w0 <= ov:
-        raise ValueError(f"first_window_frames={first_window_frames} must "
-                         f"exceed overlap_frames={ov}")
+    # validate the RAW value (so first_window_frames=0 is rejected, not
+    # silently coerced to w) BEFORE clamping to out_pad: a short
+    # utterance may clamp w0 below ov, but then w0 >= out_len — a single
+    # window, where the crossfade (and hence ov) is never used
+    if first_window_frames is None:
+        w0 = min(w, out_pad)
+    else:
+        f0 = int(first_window_frames)
+        if f0 <= ov:
+            raise ValueError(f"first_window_frames={first_window_frames} "
+                             f"must exceed overlap_frames={ov}")
+        w0 = min(f0, out_pad)
     starts = [0] + list(range(w0, out_len, w))
     done_upto = 0
     for i, s in enumerate(starts):

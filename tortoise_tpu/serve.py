@@ -224,9 +224,15 @@ class SynthesisServer:
         and stream windows interleave on the device. Validation mirrors
         submit(): all inputs (including the window geometry) are checked
         eagerly, before any device work, so the HTTP layer's 400 path
-        fires before the response status is committed."""
-        if self._worker is None:
-            raise RuntimeError("server not started")
+        fires before the response status is committed. A stream races
+        stop() like a submit does: admission is checked under the same
+        lock stop() closes under, and an in-flight stream aborts with
+        RuntimeError at its next chunk once the server stops (stop()
+        cannot drain a consumer-driven generator, so truncation beats
+        running device work for minutes after shutdown)."""
+        with self._lock:
+            if self._closed or self._worker is None:
+                raise RuntimeError("server not started")
         from tortoise_tpu.pipeline.streaming import stream_synthesize
 
         tokens, voice_arr, sampler = self._normalize_request(
@@ -262,6 +268,9 @@ class SynthesisServer:
                 # with the lock RELEASED, so client backpressure never
                 # holds the device hostage.
                 with self._device_lock:
+                    with self._lock:
+                        if self._closed:
+                            raise RuntimeError("server stopped")
                     try:
                         chunk = next(it)
                     except StopIteration:
@@ -514,9 +523,20 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
             from tortoise_tpu.io.wav import streaming_wav_header
 
             try:
-                kw = {k: int(req[k]) for k in
-                      ("window_frames", "overlap_frames",
-                       "first_window_frames", "vocoder_margin")
+                # JSON null on first_window_frames maps to the library's
+                # None (uniform windows, no small first window); null
+                # anywhere else is a clean 400, not an int(None) trace
+                def geom(k):
+                    v = req[k]
+                    if v is None and k == "first_window_frames":
+                        return None
+                    if not isinstance(v, int) or isinstance(v, bool):
+                        raise ValueError(f"{k} must be an integer, "
+                                         f"got {v!r}")
+                    return v
+                kw = {k: geom(k)
+                      for k in ("window_frames", "overlap_frames",
+                                "first_window_frames", "vocoder_margin")
                       if k in req}
                 # validation (tokens/voice/sampler) runs eagerly, before
                 # any device work, so bad input still gets a clean 400
