@@ -111,11 +111,11 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     progress = None if args.no_progress else progress_bar
-    sampler_params = {k: v for k, v in (
-        ("temperature", args.temperature), ("top_k", args.top_k),
-        ("top_p_drop", args.top_p_drop),
-        ("repetition_penalty", args.repetition_penalty)) if v is not None} \
-        or None
+    from tortoise_tpu.pipeline.ar_stage import sampler_overrides
+
+    sampler_params = sampler_overrides(
+        args.temperature, args.top_k, args.top_p_drop,
+        args.repetition_penalty)
 
     if args.random_weights:
         models = TortoiseModels.random(args.seed, tiny=args.tiny)

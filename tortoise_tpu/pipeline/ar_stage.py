@@ -427,6 +427,19 @@ def _sequences_from_token_matrix(tokens, lengths):
     return seqs
 
 
+def sampler_overrides(temperature=None, top_k=None, top_p_drop=None,
+                      repetition_penalty=None):
+    """Collect per-request sampler overrides into the dict form
+    normalize_sampler accepts — None fields keep the reference defaults;
+    returns None when nothing is overridden (shared by cli.py and
+    serve.py)."""
+    d = {k: v for k, v in (
+        ("temperature", temperature), ("top_k", top_k),
+        ("top_p_drop", top_p_drop),
+        ("repetition_penalty", repetition_penalty)) if v is not None}
+    return d or None
+
+
 def normalize_sampler(sampler_params) -> tuple:
     """(temperature, top_k, top_p_drop, repetition_penalty) — a hashable
     jit-key tuple; None -> the reference's hardcoded defaults
@@ -505,13 +518,13 @@ def autoregressive_batch(
     if voices.ndim == 1:
         voices = np.broadcast_to(voices, (b, voices.shape[0]))
     params = cast_matmul_weights(params, compute_dtype, int8_weights)
+    from tortoise_tpu.pipeline.common import mesh_size, pure_dp
+
     use_dp_fused = False
-    if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
-        n_dev = int(np.prod(mesh.devices.shape))
-        dp = mesh.shape.get("dp", 1)
-        if (n_dev == dp and b % dp == 0 and not qkv_f16
+    if mesh_size(mesh) > 1:
+        if (pure_dp(mesh, b) and not qkv_f16
                 and ar.can_fuse_sampling(params, cfg, compute_dtype,
-                                         b // dp, sampler)):
+                                         b // mesh.shape["dp"], sampler)):
             # pure-dp mesh: keep the fused one-dispatch-per-step decode
             # plane via shard_map (_generate_dp_jit: batch rows per
             # device, weights replicated, psum'd stop rule). Only the

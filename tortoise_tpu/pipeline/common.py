@@ -26,6 +26,26 @@ def mesh_context(mesh):
     return mesh if mesh is not None else contextlib.nullcontext()
 
 
+def mesh_size(mesh) -> int:
+    """Total device count of a Mesh (0 when mesh is None)."""
+    if mesh is None:
+        return 0
+    import numpy as np
+
+    return int(np.prod(mesh.devices.shape))
+
+
+def pure_dp(mesh, b: int) -> bool:
+    """True when the mesh is dp-only and batch b splits evenly over it —
+    the admission rule for the shard_map planes (per-device Pallas
+    kernels) in ar_stage and diffusion_stage: a pallas_call cannot be
+    auto-partitioned by pjit, so multi-device kernels run one shard per
+    device under shard_map, which needs every device on the dp axis."""
+    n = mesh_size(mesh)
+    dp = mesh.shape.get("dp", 1) if mesh is not None else 1
+    return n > 1 and n == dp and b % dp == 0
+
+
 def ensure_device(tree):
     """Move every numpy leaf of a param pytree onto the default device.
 

@@ -17,6 +17,7 @@ t = 79-i.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -29,7 +30,12 @@ from tortoise_tpu.config import DiffusionConfig, mel_length_for_latents
 from tortoise_tpu.models import diffusion as dmodel
 from tortoise_tpu.ops.relpos import relative_position_buckets
 from tortoise_tpu.pipeline import schedule as ds
-from tortoise_tpu.pipeline.common import mesh_context, round_up
+from tortoise_tpu.pipeline.common import (
+    mesh_context,
+    mesh_size,
+    pure_dp,
+    round_up,
+)
 
 LAT_BUCKET = 32
 OUT_BUCKET = 64
@@ -316,20 +322,6 @@ def _diffusion_all_dp_jit(params, cfg, sched, lat_in, lat_buckets, lat_lens,
               out_mask, key)
 
 
-def _dp_mesh_size(mesh) -> int:
-    import numpy as _np
-
-    return 0 if mesh is None else int(_np.prod(mesh.devices.shape))
-
-
-def _pure_dp(mesh, b: int) -> bool:
-    """True when the mesh is dp-only and the batch splits evenly — the
-    shard_map diffusion plane's requirements."""
-    n = _dp_mesh_size(mesh)
-    dp = mesh.shape.get("dp", 1) if mesh is not None else 1
-    return n > 1 and n == dp and b % dp == 0
-
-
 @functools.partial(
     jax.jit, static_argnames=("cfg", "variance_swap", "compute_dtype")
 )
@@ -397,14 +389,12 @@ def diffusion_batch(
     lat_mask_opt = None if lat_mask.all() else lat_mask
     out_mask_opt = None if out_mask.all() else out_mask
 
-    use_dp = _pure_dp(mesh, b) and progress is None
-    if _dp_mesh_size(mesh) > 1 and not use_dp:
+    use_dp = pure_dp(mesh, b) and progress is None
+    if mesh_size(mesh) > 1 and not use_dp:
         # tp (or a batch dp can't split, or the progress-chunked path):
         # the flash pallas_call cannot be auto-partitioned by pjit —
         # take the XLA attention plane, which partitions cleanly
-        import dataclasses as _dc
-
-        cfg = _dc.replace(cfg, use_flash=False)
+        cfg = dataclasses.replace(cfg, use_flash=False)
     lat_buckets = _buckets_dev(lat_pad, cfg.rel_pos_buckets,
                                cfg.rel_pos_max_distance)
     out_buckets = _buckets_dev(out_pad, cfg.rel_pos_buckets,
@@ -517,11 +507,9 @@ def diffusion_batch_device(
                                cfg.rel_pos_max_distance)
     sched = _schedule_arrays(cfg)
 
-    use_dp = _pure_dp(mesh, b)
-    if _dp_mesh_size(mesh) > 1 and not use_dp:
-        import dataclasses as _dc
-
-        cfg = _dc.replace(cfg, use_flash=False)
+    use_dp = pure_dp(mesh, b)
+    if mesh_size(mesh) > 1 and not use_dp:
+        cfg = dataclasses.replace(cfg, use_flash=False)
     with mesh_context(mesh):
         key = jax.random.PRNGKey(seed)
         if use_dp:

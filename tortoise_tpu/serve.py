@@ -290,13 +290,11 @@ class SynthesisServer:
         from tortoise_tpu.pipeline.ar_stage import (
             TEXT_BUCKETS,
             normalize_sampler,
+            sampler_overrides,
         )
 
-        overrides = {k: v for k, v in (
-            ("temperature", temperature), ("top_k", top_k),
-            ("top_p_drop", top_p_drop),
-            ("repetition_penalty", repetition_penalty)) if v is not None}
-        sampler = normalize_sampler(overrides or None)
+        sampler = normalize_sampler(sampler_overrides(
+            temperature, top_k, top_p_drop, repetition_penalty))
         if tokens is None:
             if message is None:
                 raise ValueError("pass message or tokens")
@@ -433,7 +431,17 @@ class SynthesisServer:
         rows = batch + [batch[-1]] * (bucket - n)  # repeat-pad rows
         try:
             with self._device_lock:
-                results = self._synthesize_rows(rows, batch[0].seed, sampler)
+                results = synthesize_batch(
+                    self.models,
+                    tokens_list=[r.tokens for r in rows],
+                    voices=[r.voice for r in rows],
+                    seed=batch[0].seed,
+                    compute_dtype=self.compute_dtype,
+                    int8_weights=self.int8_weights,
+                    mesh=self.mesh,
+                    materialize=False,
+                    sampler_params=sampler,
+                )
         except Exception as e:  # resolve, don't kill the worker
             for r in batch:
                 r.future.set_exception(e)
@@ -447,18 +455,6 @@ class SynthesisServer:
                 self._stats["rows"] += n
                 self._stats["padded_rows"] += bucket - n
 
-    def _synthesize_rows(self, rows, seed, sampler):
-        return synthesize_batch(
-            self.models,
-            tokens_list=[r.tokens for r in rows],
-            voices=[r.voice for r in rows],
-            seed=seed,
-            compute_dtype=self.compute_dtype,
-            int8_weights=self.int8_weights,
-            mesh=self.mesh,
-            materialize=False,
-            sampler_params=sampler,
-        )
 
 
 # -- HTTP front-end (stdlib only) -----------------------------------------
@@ -514,6 +510,17 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
                 return self._json(404, {"error": "not found"})
             self._json(200, {"ok": True, "stats": server.stats()})
 
+        @staticmethod
+        def _request_kwargs(req: dict) -> dict:
+            """Request fields shared by /synthesize and /stream."""
+            return dict(
+                message=req.get("message"), tokens=req.get("tokens"),
+                voice=req.get("voice"), seed=int(req.get("seed", 0)),
+                temperature=req.get("temperature"),
+                top_k=req.get("top_k"),
+                top_p_drop=req.get("top_p_drop"),
+                repetition_penalty=req.get("repetition_penalty"))
+
         def _chunk(self, payload: bytes) -> None:
             self.wfile.write(f"{len(payload):x}\r\n".encode())
             self.wfile.write(payload)
@@ -540,14 +547,7 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
                       if k in req}
                 # validation (tokens/voice/sampler) runs eagerly, before
                 # any device work, so bad input still gets a clean 400
-                chunks = server.stream(
-                    message=req.get("message"), tokens=req.get("tokens"),
-                    voice=req.get("voice"), seed=int(req.get("seed", 0)),
-                    temperature=req.get("temperature"),
-                    top_k=req.get("top_k"),
-                    top_p_drop=req.get("top_p_drop"),
-                    repetition_penalty=req.get("repetition_penalty"),
-                    **kw)
+                chunks = server.stream(**self._request_kwargs(req), **kw)
             except Exception as e:
                 return self._json(400, {"error": str(e)})
             self.send_response(200)
@@ -577,13 +577,7 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
             if self.path == "/stream":
                 return self._do_stream(req)
             try:
-                fut = server.submit(
-                    message=req.get("message"), tokens=req.get("tokens"),
-                    voice=req.get("voice"), seed=int(req.get("seed", 0)),
-                    temperature=req.get("temperature"),
-                    top_k=req.get("top_k"),
-                    top_p_drop=req.get("top_p_drop"),
-                    repetition_penalty=req.get("repetition_penalty"))
+                fut = server.submit(**self._request_kwargs(req))
             except Exception as e:  # this request's input was bad
                 return self._json(400, {"error": str(e)})
             try:
