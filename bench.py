@@ -433,7 +433,7 @@ def main() -> int:
             for chunk in stream_synthesize(
                     models, tokens=tokens, voice=voice, seed=seed,
                     compute_dtype=compute_dtype, int8_weights=int8,
-                    first_window_frames=None if small else 128):
+                    first_window_frames=None if small else 96):
                 if first is None:
                     first = chunk.latency_s
                 n_samples += len(chunk.audio)

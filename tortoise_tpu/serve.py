@@ -213,7 +213,7 @@ class SynthesisServer:
                top_p_drop: Optional[float] = None,
                repetition_penalty: Optional[float] = None,
                window_frames: int = 352, overlap_frames: int = 32,
-               first_window_frames: Optional[int] = 128,
+               first_window_frames: Optional[int] = 96,
                vocoder_margin: int = 32):
         """Streaming synthesis: yields pipeline.streaming.StreamChunk
         objects as audio finalizes (first chunk ~= time-to-first-audio).
