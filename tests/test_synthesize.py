@@ -241,6 +241,28 @@ def test_cli_conflicting_mode_flags(tmp_path):
                   "--stream", "--batch-size", "2"])
 
 
+def test_cli_stream_with_geometry_flags(tmp_path):
+    """--stream drives the streaming pipeline end-to-end with the window
+    geometry flags (small windows + margin so the tiny mel spans several
+    chunks) and writes a playable WAV."""
+    from tortoise_tpu import cli
+
+    out = str(tmp_path / "s.wav")
+    rc = cli.main(["--random-weights", "--tiny", "--seed", "3",
+                   "--diffusion-steps", "2", "--stream",
+                   "--stream-window", "8", "--stream-overlap", "2",
+                   "--stream-first-window", "4", "--vocoder-margin", "2",
+                   "--output", out])
+    assert rc == 0
+    audio, rate = read_wav(out)
+    assert rate == 24000 and len(audio) > 0
+    # --stream-first-window 0 disables the override (uniform windows)
+    rc = cli.main(["--random-weights", "--tiny", "--seed", "3",
+                   "--diffusion-steps", "2", "--stream",
+                   "--stream-first-window", "0", "--output", out])
+    assert rc == 0
+
+
 def test_device_path_matches_legacy(models):
     """The device-resident stage handoff (progress=None) must produce the
     same audio/mel as the legacy host-boundary path (forced via a progress

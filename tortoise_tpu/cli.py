@@ -86,6 +86,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "vocoding emit audio while later frames still "
                         "denoise; prints first-audio latency "
                         "(pipeline/streaming.py — beyond-reference axis)")
+    p.add_argument("--stream-window", type=int, default=352,
+                   help="streaming: mel frames denoised per window "
+                        "(default 352; 352+32 overlap = 3 pad-free "
+                        "128-query flash blocks)")
+    p.add_argument("--stream-overlap", type=int, default=32,
+                   help="streaming: crossfaded frames between adjacent "
+                        "windows (default 32)")
+    p.add_argument("--stream-first-window", type=int, default=96,
+                   help="streaming: smaller FIRST window — first-audio "
+                        "latency scales with its width (default 96, the "
+                        "measured on-chip optimum; 0 disables the "
+                        "override)")
+    p.add_argument("--vocoder-margin", type=int, default=32,
+                   help="streaming: context frames vocoded on each side "
+                        "of a chunk and discarded — emission lags mel "
+                        "finalization by this many frames (default 32, "
+                        "sufficient for exact chunking)")
     p.add_argument("--random-weights", action="store_true",
                    help="use a synthetic random checkpoint (flow testing "
                         "without the published weights)")
@@ -259,6 +276,10 @@ def main(argv=None) -> int:
                 models, message=args.message, tokens=tokens, voice=voice,
                 seed=args.seed, compute_dtype=compute_dtype,
                 int8_weights=args.int8_weights,
+                window_frames=args.stream_window,
+                overlap_frames=args.stream_overlap,
+                vocoder_margin=args.vocoder_margin,
+                first_window_frames=args.stream_first_window or None,
                 sampler_params=sampler_params,
                 tokenizer_method=args.tokenizer_method):
             if first is None:
