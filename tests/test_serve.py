@@ -390,6 +390,40 @@ def test_stream_does_not_starve_batches(models, voice):
     assert st["rows"] == 1
 
 
+def test_two_streams_interleave(models, voice):
+    """Two concurrent streams make progress alternately (each chunk
+    re-acquires the device lock, so neither holds the device for its
+    whole utterance) and both complete with distinct audio."""
+    rng = np.random.default_rng(19)
+    server = serve.SynthesisServer(models, default_voice=voice)
+    kw = dict(window_frames=8, overlap_frames=2, first_window_frames=4,
+              vocoder_margin=2)
+    with server:
+        g1 = server.stream(tokens=_tokens(rng, 5), seed=1, **kw)
+        g2 = server.stream(tokens=_tokens(rng, 5), seed=2, **kw)
+        c1, c2 = [], []
+        done1 = done2 = False
+        while not (done1 and done2):
+            if not done1:
+                try:
+                    c1.append(next(g1))
+                except StopIteration:
+                    done1 = True
+            if not done2:
+                try:
+                    c2.append(next(g2))
+                except StopIteration:
+                    done2 = True
+    assert c1 and c1[-1].final and c2 and c2[-1].final
+    a1 = np.concatenate([c.audio for c in c1])
+    a2 = np.concatenate([c.audio for c in c2])
+    assert len(a1) > 0 and len(a2) > 0
+    # different seeds -> different utterances
+    assert len(a1) != len(a2) or not np.array_equal(a1, a2)
+    st = server.stats()
+    assert st.get("streams") == 2 and st.get("streams_completed") == 2
+
+
 def test_stream_aborts_after_stop(models, voice):
     """A stream in flight when stop() lands aborts with RuntimeError at
     its next chunk instead of running device work (potentially minutes)
