@@ -424,6 +424,37 @@ def test_two_streams_interleave(models, voice):
     assert st.get("streams") == 2 and st.get("streams_completed") == 2
 
 
+def test_serving_chaos_mix(models, voice):
+    """Load mix: concurrent submits with two different sampler settings,
+    a live multi-chunk stream, and a malformed request, all at once.
+    Every well-formed future resolves with audio, the bad one fails
+    alone, the stream completes, and the stats stay coherent."""
+    rng = np.random.default_rng(23)
+    server = serve.SynthesisServer(models, max_batch=4, max_wait_ms=50,
+                                   default_voice=voice)
+    with server:
+        gen = server.stream(tokens=_tokens(rng, 5), seed=9,
+                            window_frames=8, overlap_frames=2,
+                            first_window_frames=4, vocoder_margin=2)
+        chunks = [next(gen)]
+        futs = []
+        for i in range(6):
+            kw = {} if i % 2 else {"temperature": 1.1, "top_k": 9}
+            futs.append(server.submit(tokens=_tokens(rng, 4 + i),
+                                      seed=i, **kw))
+        with pytest.raises(ValueError):
+            server.submit(tokens=[10**9])  # out of vocab, fails alone
+        results = [f.result(timeout=600) for f in futs]
+        chunks += list(gen)
+    assert all(len(r.audio) > 0 for r in results)
+    assert chunks[-1].final
+    st = server.stats()
+    assert st["rows"] == 6 and st["failed_batches"] == 0
+    assert st.get("streams_completed") == 1
+    # two sampler settings can never share a synthesis batch
+    assert st["batches"] >= 2
+
+
 def test_stream_aborts_after_stop(models, voice):
     """A stream in flight when stop() lands aborts with RuntimeError at
     its next chunk instead of running device work (potentially minutes)
