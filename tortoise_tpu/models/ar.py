@@ -163,13 +163,14 @@ def _block_full(block, x, bias, cfg: ARConfig, compute_dtype, qkv_f16=False,
 
 def transformer(params, x, bias, cfg: ARConfig, compute_dtype=None,
                 qkv_f16: bool = False, seq_valid=None,
-                ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+                ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array], bool]:
     """Run the 30-layer trunk over a full sequence via lax.scan.
 
-    Returns hidden states and per-layer (k, v) stacked — (L, B, S, H*Dh)
-    packed when flash_prefill_on (see _block_full), else
-    (L, B, H, S, Dh).
-    """
+    Returns (hidden states, per-layer (k, v) stacked, kv_packed) — the k/v
+    stacks are (L, B, S, H*Dh) packed when the flash path ran (see
+    _block_full), else (L, B, H, S, Dh); ``kv_packed`` reports which, so
+    callers never re-derive the layout decision from their own copy of the
+    inputs."""
     use_flash = flash_prefill_on(cfg, compute_dtype, qkv_f16,
                                  x.shape[:2], seq_valid is not None)
 
@@ -179,7 +180,7 @@ def transformer(params, x, bias, cfg: ARConfig, compute_dtype=None,
         return x, kv
 
     x, kvs = jax.lax.scan(step, x, params["blocks"])
-    return x, kvs
+    return x, kvs, use_flash
 
 
 def _head(params, h, cfg: ARConfig, compute_dtype=None):
@@ -249,14 +250,15 @@ def prefill(params, cfg: ARConfig, text_ids: jax.Array,
         [jnp.ones((b, 1), bool), text_valid, jnp.ones((b, 1), bool)], axis=1
     )
     bias = _causal_bias(seq_valid)
-    h, (ks, vs) = transformer(params, x, bias, cfg, compute_dtype, qkv_f16,
-                              seq_valid=seq_valid)
+    h, (ks, vs), kv_packed = transformer(params, x, bias, cfg,
+                                         compute_dtype, qkv_f16,
+                                         seq_valid=seq_valid)
     logits = _head(params, h[:, -1:, :], cfg, compute_dtype)[:, 0, :]
 
     s = x.shape[1]
     cache_dtype = compute_dtype or jnp.float32
     l_, b_ = ks.shape[0], ks.shape[1]
-    if not flash_prefill_on(cfg, compute_dtype, qkv_f16, (b, s)):
+    if not kv_packed:
         # (L, B, H, S, Dh) -> (L, B, S, H*Dh) packed cache layout (the
         # flash path already emits packed rows sliced off the fused qkv)
         ks = ks.transpose(0, 1, 3, 2, 4).reshape(l_, b_, s, -1)
@@ -499,8 +501,8 @@ def latent_forward(params, cfg: ARConfig, text_ids: jax.Array,
         [jnp.ones((b, 1), bool), text_valid, jnp.ones((b, m), bool)], axis=1
     )
     bias = _causal_bias(seq_valid)
-    h, _ = transformer(params, x, bias, cfg, compute_dtype, qkv_f16,
-                       seq_valid=seq_valid)
+    h, _, _ = transformer(params, x, bias, cfg, compute_dtype, qkv_f16,
+                          seq_valid=seq_valid)
     h = _latent_head(params, h, cfg)
     # latents live at the 500 positions starting at the start-mel slot
     return jax.lax.dynamic_slice_in_dim(h, 1 + t, m - 2, axis=1)

@@ -75,12 +75,14 @@ def _use_packed(cfg: DiffusionConfig) -> bool:
         and (6 * cfg.d_head) % 128 == 0
 
 
-def _packed_bq(t: int, cfg: DiffusionConfig) -> int:
+def _packed_bq(cfg: DiffusionConfig) -> int:
     """Query block size for the packed kernel — must match the rule in
     flash_attention_packed (rowblock_bq: a multiple of 128, short T pads
-    up) so precomputed bands line up. cfg.flash_bq=128 measured fastest
-    at T~2176 (2176 = 17x128 needs no padding; 256 pads to 2304, +6%
-    kernel work — r2 corrected sweep 16.2 vs 16.7 ms/step)."""
+    up) so precomputed bands line up. Deliberately NOT a function of the
+    sequence length: _band_stack precomputes bands once per denoise loop
+    while _attention runs per layer, and both must agree. cfg.flash_bq=128
+    measured fastest at T~2176 (2176 = 17x128 needs no padding; 256 pads
+    to 2304, +6% kernel work — r2 corrected sweep 16.2 vs 16.7 ms/step)."""
     from tortoise_tpu.ops.pallas.flash_attention import rowblock_bq
 
     return rowblock_bq(cfg.flash_bq)
@@ -123,7 +125,7 @@ def _attention(block, x, rel_w, buckets, cfg: DiffusionConfig,
         merged = flash_attention_packed(
             qkv.astype(kdt), h, kv_valid, bias_table=rel_w,
             bias_max_distance=cfg.rel_pos_max_distance,
-            bq=_packed_bq(t, cfg),
+            bq=_packed_bq(cfg),
             interpret=jax.default_backend() != "tpu",
             band=band_l, band_scalars=scal_l,
             # tuning knobs come from the config (part of the jit cache
@@ -206,7 +208,7 @@ def _diffusion_layer(layer, x, time_emb, buckets, cfg, mask, compute_dtype,
                       compute_dtype, band)
 
 
-def _band_stack(tables, t: int, cfg: DiffusionConfig):
+def _band_stack(tables, cfg: DiffusionConfig):
     """Precomputed per-layer band biases for the packed kernel, or None
     when the packed path is off. tables: (L, NB, H)."""
     if not _use_packed(cfg):
@@ -214,7 +216,7 @@ def _band_stack(tables, t: int, cfg: DiffusionConfig):
     from tortoise_tpu.ops.relpos import relpos_bias_band_stacked
 
     return relpos_bias_band_stacked(
-        tables, _packed_bq(t, cfg), scale=8.0,
+        tables, _packed_bq(cfg), scale=8.0,
         num_buckets=cfg.rel_pos_buckets,
         max_distance=cfg.rel_pos_max_distance)
 
@@ -230,8 +232,7 @@ def latent_conditioner(params, cfg: DiffusionConfig, latents: jax.Array,
     x = conv1d_nwc(x, params["latent_conv_w"], params["latent_conv_b"],
                    padding=1, compute_dtype=compute_dtype)
 
-    bands = _band_stack(params["latent_blocks"]["attn_rel_w"], x.shape[1],
-                        cfg)
+    bands = _band_stack(params["latent_blocks"]["attn_rel_w"], cfg)
     if bands is None:
         def step(x, block):
             return _attention(block, x, block["attn_rel_w"], lat_buckets,
@@ -264,8 +265,7 @@ def time_mlp(params, t_emb, compute_dtype=None):
 def integrate_code(params, cfg: DiffusionConfig, code_emb, time_emb,
                    out_buckets, mask=None, compute_dtype=None):
     """3 conditioning_timestep_integrator layers (main.cpp:3345-3608)."""
-    bands = _band_stack(params["integrator"]["attn_rel_w"],
-                        code_emb.shape[1], cfg)
+    bands = _band_stack(params["integrator"]["attn_rel_w"], cfg)
     if bands is None:
         def step(x, layer):
             return _diffusion_layer(layer, x, time_emb, out_buckets, cfg,
@@ -297,7 +297,7 @@ def trunk(params, cfg: DiffusionConfig, noisy_mel, code_emb, time_emb,
                 compute_dtype, out_dtype=compute_dtype)
 
     unroll = cfg.main_unroll
-    bands = _band_stack(params["layers"]["attn_rel_w"], x.shape[1], cfg)
+    bands = _band_stack(params["layers"]["attn_rel_w"], cfg)
     if bands is None:
         def main_step(x, layer):
             return _diffusion_layer(layer, x, time_emb, out_buckets, cfg,

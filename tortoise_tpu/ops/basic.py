@@ -46,8 +46,13 @@ def pdot(x: jax.Array, w, compute_dtype=None, out_dtype=None) -> jax.Array:
     if isinstance(w, tuple):
         wq, scale = w
         cd = compute_dtype or jnp.float32
+        # compute_dtype=None keeps the exact-f32 contract below: the int8
+        # values are exact in any dtype, but f32 activations would be
+        # silently rounded to bf16 by the MXU's default single-pass mode
+        prec = None if compute_dtype is not None else (
+            jax.lax.Precision.HIGHEST)
         out = jnp.matmul(x.astype(cd), wq.astype(cd),
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32, precision=prec)
         out = out * scale
         return out.astype(out_dtype) if out_dtype is not None else out
     if compute_dtype is not None:
@@ -135,22 +140,6 @@ def layer_norm(x, w=None, b=None, eps: float = 1e-5, axis: int = -1):
     if b is not None:
         out = out + b
     return out.astype(x.dtype)
-
-
-def masked_layer_norm(x, mask, w=None, b=None, eps: float = 1e-5):
-    """Layer norm over the last axis where ``mask`` (broadcastable, bool)
-    marks valid elements; invalid elements are zeroed in the output."""
-    xf = jnp.where(mask, x.astype(jnp.float32), 0.0)
-    n = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
-    mean = jnp.sum(xf, axis=-1, keepdims=True) / n
-    d = jnp.where(mask, xf - mean, 0.0)
-    var = jnp.sum(d * d, axis=-1, keepdims=True) / n
-    out = d * jax.lax.rsqrt(var + eps)
-    if w is not None:
-        out = out * w
-    if b is not None:
-        out = out + b
-    return jnp.where(mask, out, 0.0).astype(x.dtype)
 
 
 def group_norm(x, n_groups: int, w=None, b=None, eps: float = 1e-5,

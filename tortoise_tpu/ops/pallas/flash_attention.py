@@ -189,9 +189,14 @@ def _grouped_flash(qp, kp, vp, band, scalars, maskp, *, bq, bk, tq, tkv,
                                   n_heads=group, have_mask=False)
 
     params = {}
-    if vmem_mb:
+    if not interpret:
+        # (b, head-group) grid steps are independent, same as the packed
+        # kernel: declaring it lets Mosaic overlap prologue DMAs across
+        # steps (the per-head scratch double-buffering is intra-program)
         params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_mb * 2**20)
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_mb * 2**20 if vmem_mb else None,
+        )
     return pl.pallas_call(
         kern,
         grid=grid,
