@@ -510,3 +510,68 @@ def test_http_stream_null_first_window(models, voice):
         httpd.shutdown()
         httpd.server_close()
         server.stop()
+
+
+def test_out_of_range_seed_rejected_at_submit(models, voice):
+    """A seed jax.random.PRNGKey cannot hold fails its own caller at
+    submit()/stream() time — with validation only in the worker, the
+    PRNGKey OverflowError would poison every co-batched request."""
+    server = serve.SynthesisServer(models, default_voice=voice)
+    with server:
+        with pytest.raises(ValueError, match="seed"):
+            server.submit(tokens=[1, 4, 0], seed=2 ** 64)
+        with pytest.raises(ValueError, match="seed"):
+            server.stream(tokens=[1, 4, 0], seed=-(2 ** 70))
+        ok = server.submit(tokens=[1, 4, 0], seed=2 ** 62)
+        assert len(ok.result(timeout=600).audio) > 0
+    assert server.stats()["failed_batches"] == 0
+
+
+def test_cancelled_future_skipped_not_fatal(models, voice, monkeypatch):
+    """A client that times out and cancel()s its future must not kill the
+    worker: set_result on a cancelled future raises InvalidStateError,
+    which would leave the queue unserved and hang stop(drain=True)."""
+    import time as _time
+
+    gate = threading.Event()
+    entered = threading.Event()
+    real = serve.synthesize_batch
+    calls = {"n": 0}
+
+    def gated(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            entered.set()
+            assert gate.wait(timeout=600)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(serve, "synthesize_batch", gated)
+    rng = np.random.default_rng(9)
+    server = serve.SynthesisServer(models, max_batch=2, max_wait_ms=10,
+                                   default_voice=voice)
+    with server:
+        blocker = server.submit(tokens=_tokens(rng, 4))
+        assert entered.wait(timeout=600)  # worker is inside batch 1
+        doomed = server.submit(tokens=_tokens(rng, 4))
+        assert doomed.cancel()  # still queued -> cancellable
+        survivor = server.submit(tokens=_tokens(rng, 4))
+        gate.set()
+        assert len(blocker.result(timeout=600).audio) > 0
+        assert len(survivor.result(timeout=600).audio) > 0
+        with pytest.raises(Exception):
+            doomed.result(timeout=0)  # CancelledError
+    # reaching here proves stop(drain=True) completed (no hang) and the
+    # worker survived the cancelled row
+    assert server.stats()["failed_batches"] == 0
+
+
+def test_voice_filename_resolves_against_voice_dir(models, tmp_path):
+    """'mol.bin' (a models-dir filename, not a bare name) must resolve to
+    voice_dir/mol.bin — not voice_dir/mol.bin.bin."""
+    d = models.ar_cfg.d_model
+    lat = np.random.default_rng(4).normal(0, 0.5, (d,)).astype(np.float32)
+    lat.tofile(tmp_path / "mol.bin")
+    server = serve.SynthesisServer(models, voice_dir=str(tmp_path))
+    for name in ("mol", "mol.bin"):
+        got = server._load_voice(name)
+        np.testing.assert_array_equal(got, lat)

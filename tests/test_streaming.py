@@ -227,3 +227,34 @@ def test_mel_first_window_clamped_short_utterance():
     assert (s, e) == (0, out_len)
     assert block.shape == (cfg.n_mel, out_len)
     assert np.isfinite(block).all()
+
+
+def test_stream_synthesize_validates_eagerly():
+    """stream_synthesize is a plain function returning a generator:
+    bad geometry (including a negative vocoder_margin, which would
+    silently emit corrupt audio) fails at CALL time, before any AR
+    work — the CLI --stream path depends on this."""
+    from tortoise_tpu.pipeline.synthesize import TortoiseModels
+
+    models = TortoiseModels.random(seed=0, tiny=True)
+    voice = np.zeros((models.ar_cfg.d_model,), np.float32)
+    with pytest.raises(ValueError, match="vocoder_margin"):
+        st.stream_synthesize(models, tokens=[1, 4, 0], voice=voice,
+                             vocoder_margin=-4)
+    with pytest.raises(ValueError, match="window_frames"):
+        st.stream_synthesize(models, tokens=[1, 4, 0], voice=voice,
+                             window_frames=16, overlap_frames=16)
+    with pytest.raises(ValueError, match="first_window_frames"):
+        st.stream_synthesize(models, tokens=[1, 4, 0], voice=voice,
+                             window_frames=24, overlap_frames=8,
+                             first_window_frames=8)
+    with pytest.raises(ValueError, match="voice"):
+        st.stream_synthesize(models, tokens=[1, 4, 0], voice=None)
+
+
+def test_stream_audio_chunks_rejects_negative_margin():
+    cfg = tiny_vocoder_config()
+    params = random_vocoder_params(cfg, seed=0)
+    with pytest.raises(ValueError, match="margin"):
+        list(st.stream_audio_chunks(params, cfg, iter(()), 8, seed=0,
+                                    margin=-1))

@@ -112,7 +112,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.diffusion_steps < 2:
+        # fail at parse time — the schedule only rejects this after the
+        # full AR stage has already run (pipeline/schedule.py)
+        parser.error(f"--diffusion-steps must be >= 2, "
+                     f"got {args.diffusion_steps}")
     if args.seed is None:
         # unseeded runs vary, like the reference's wall-clock default
         # (main.cpp:39-50, 6545-6547)

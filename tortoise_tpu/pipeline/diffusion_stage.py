@@ -565,9 +565,10 @@ def diffusion(
                                progress=progress,
                                int8_weights=int8_weights)[0]
 
-    from tortoise_tpu.pipeline.common import ensure_device
-
-    params = ensure_device(params)
+    # the reference-rng parity plane usually runs f32, but the flag
+    # combination is the caller's choice — honor int8 here exactly like
+    # the jax-rng path above (the AR stage honors it on this path too)
+    params = _prepare_params(params, int8_weights)
     latents = np.asarray(latents, np.float32)
     lat_len = latents.shape[0]
     out_len = mel_length_for_latents(lat_len)

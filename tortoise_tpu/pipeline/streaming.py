@@ -207,6 +207,10 @@ def stream_audio_chunks(vparams, vcfg: VocoderConfig, mel_spans,
     vparams = ensure_device(vparams)
     u = vcfg.total_upsample
     m = int(margin)
+    if m < 0:
+        # a negative margin would slice past the finalized mel span and
+        # emit garbage for frames the next window then skips
+        raise ValueError(f"margin must be >= 0, got {margin}")
     total = out_len + vcfg.mel_pad_frames
     # slack past the bucket roundup: the last chunk's context slice
     # starts at ctxa > 0 and spans a rounded-up width, which can reach
@@ -273,9 +277,24 @@ def stream_synthesize(
     Chunks concatenate (in start_sample order, no gaps/overlaps) to the
     utterance; `latency_s` on the first chunk is the first-audio
     latency. Seeds follow synthesize(): stage seeds are seed/seed+1/
-    seed+2."""
+    seed+2.
+
+    This is a plain function returning a generator (not itself a
+    generator), so input/geometry validation fails at CALL time — before
+    any device work — rather than at the first next()."""
     from tortoise_tpu.io.voice import load_voice_latent
 
+    w, ov = int(window_frames), int(overlap_frames)
+    if w <= 0 or ov < 0 or ov >= w:
+        raise ValueError(f"need window_frames > overlap_frames >= 0, "
+                         f"got {window_frames}/{overlap_frames}")
+    if first_window_frames is not None and int(first_window_frames) <= ov:
+        raise ValueError(
+            f"first_window_frames={first_window_frames} must exceed "
+            f"overlap_frames={ov}")
+    if int(vocoder_margin) < 0:
+        raise ValueError(
+            f"vocoder_margin must be >= 0, got {vocoder_margin}")
     if tokens is None:
         if models.tokenizer is None:
             raise ValueError("no tokenizer available; pass tokens directly")
@@ -284,6 +303,16 @@ def stream_synthesize(
         voice = load_voice_latent(voice, models.ar_cfg.d_model)
     if voice is None:
         raise ValueError("a voice latent (array or path) is required")
+    return _stream_synthesize_gen(
+        models, tokens, voice, seed, compute_dtype, int8_weights,
+        window_frames, overlap_frames, vocoder_margin,
+        first_window_frames, sampler_params)
+
+
+def _stream_synthesize_gen(models, tokens, voice, seed, compute_dtype,
+                           int8_weights, window_frames, overlap_frames,
+                           vocoder_margin, first_window_frames,
+                           sampler_params) -> Iterator[StreamChunk]:
     models.to_device(include_ar=False, include_diffusion=not int8_weights)
 
     t0 = time.monotonic()

@@ -59,6 +59,17 @@ from tortoise_tpu.pipeline.synthesize import (
 DEFAULT_B_BUCKETS = (1, 2, 4, 8, FUSED_MAX_BATCH)
 
 
+def _check_seed(seed) -> int:
+    """Validate a request seed at submit time. jax.random.PRNGKey folds
+    the seed to int64 (OverflowError beyond), and synthesize derives
+    stage seeds up to seed+2 — an out-of-range seed must fail its own
+    caller, never the batch it would have joined."""
+    s = int(seed)
+    if not -(2 ** 63) <= s <= 2 ** 63 - 3:
+        raise ValueError(f"seed outside the int64 range: {seed}")
+    return s
+
+
 @dataclass
 class _Request:
     tokens: List[int]
@@ -154,7 +165,8 @@ class SynthesisServer:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
-            req.future.set_exception(RuntimeError("server stopped"))
+            if req.future.set_running_or_notify_start():  # not cancelled
+                req.future.set_exception(RuntimeError("server stopped"))
             self._queue.task_done()
 
     def __enter__(self) -> "SynthesisServer":
@@ -198,7 +210,7 @@ class SynthesisServer:
         tokens, voice_arr, sampler = self._normalize_request(
             message, tokens, voice, temperature, top_k, top_p_drop,
             repetition_penalty)
-        req = _Request(tokens, voice_arr, int(seed), sampler)
+        req = _Request(tokens, voice_arr, _check_seed(seed), sampler)
         with self._lock:
             if self._closed or self._worker is None:
                 raise RuntimeError("server not started")
@@ -238,6 +250,7 @@ class SynthesisServer:
         tokens, voice_arr, sampler = self._normalize_request(
             message, tokens, voice, temperature, top_k, top_p_drop,
             repetition_penalty)
+        seed = _check_seed(seed)
         # Window geometry checks mirror streaming.stream_mel_windows;
         # failing here (eagerly) beats failing after a full AR pass.
         w, ov = int(window_frames), int(overlap_frames)
@@ -360,14 +373,16 @@ class SynthesisServer:
                     continue
                 # bypass the queue: a direct call compiles exactly the
                 # bucket-b program (queued submits could split across
-                # admission windows and skip a bucket). Call before
-                # serving traffic, not concurrently with it.
-                synthesize_batch(
-                    self.models, tokens_list=[list(tokens)] * b,
-                    voices=[self.default_voice] * b, seed=0,
-                    compute_dtype=self.compute_dtype,
-                    int8_weights=self.int8_weights, mesh=self.mesh,
-                    materialize=False)
+                # admission windows and skip a bucket). The device lock
+                # serializes against the worker and live streams, so a
+                # warmup issued alongside traffic is safe (just slow).
+                with self._device_lock:
+                    synthesize_batch(
+                        self.models, tokens_list=[list(tokens)] * b,
+                        voices=[self.default_voice] * b, seed=0,
+                        compute_dtype=self.compute_dtype,
+                        int8_weights=self.int8_weights, mesh=self.mesh,
+                        materialize=False)
 
     # -- worker ------------------------------------------------------------
 
@@ -377,10 +392,13 @@ class SynthesisServer:
 
             path = voice
             if not os.path.exists(path) and self.voice_dir:
-                # bare voice name, like the CLI: models/<name>.bin
-                candidate = os.path.join(self.voice_dir, voice + ".bin")
-                if os.path.exists(candidate):
-                    path = candidate
+                # like the CLI: bare name models/<name>.bin, or a
+                # models-relative filename models/<name>
+                for cand in (os.path.join(self.voice_dir, voice + ".bin"),
+                             os.path.join(self.voice_dir, voice)):
+                    if os.path.exists(cand):
+                        path = cand
+                        break
             return load_voice_latent(path, self.models.ar_cfg.d_model)
         return np.asarray(voice, np.float32)
 
@@ -426,6 +444,14 @@ class SynthesisServer:
                 self._queue.task_done()
 
     def _run_batch(self, batch: List[_Request], sampler: tuple) -> None:
+        # claim each future before doing device work: a client that
+        # timed out and cancel()ed drops out here (set_result on a
+        # cancelled future raises InvalidStateError, which would kill
+        # the worker thread and hang stop(drain=True) forever)
+        batch = [r for r in batch
+                 if r.future.set_running_or_notify_start()]
+        if not batch:
+            return
         n = len(batch)
         bucket = self._bucket(n)
         rows = batch + [batch[-1]] * (bucket - n)  # repeat-pad rows
@@ -636,7 +662,13 @@ def main(argv=None) -> int:
         models = TortoiseModels.from_ggml_dir(args.models, args.cache_dir)
         voice = args.voice
         if not os.path.exists(voice):
-            voice = os.path.join(args.models, args.voice + ".bin")
+            # bare name (mol -> models/mol.bin) or models-relative
+            # filename (mol.bin -> models/mol.bin), like the CLI
+            for cand in (os.path.join(args.models, args.voice + ".bin"),
+                         os.path.join(args.models, args.voice)):
+                if os.path.exists(cand):
+                    voice = cand
+                    break
     compute_dtype = None
     if args.bf16:
         import jax.numpy as jnp
