@@ -119,15 +119,24 @@ def build_models(small, use_bf16, int8=False):
     return models, models_f32
 
 
-def checked_sync(run_sync, max_tries: int = 3):
+def checked_sync(run_sync, max_tries: int = 3, ref_wall=None):
     """Run a stage-synced pass and verify the decomposition is
-    self-consistent: the top-level stage walls (autoregressive_s +
-    diffusion_s + vocoder_s) must sum to within 25% of the pass's own
-    wall. A recompile or tunnel stall inside one sync pass otherwise
-    ships a garbage decomposition in the artifact (BENCH_r03's batched
-    B=8 entry summed to 21.1 s against a 10.8 s wall). Retries up to
-    max_tries, keeps the most consistent pass, and reports the retry
-    count + final verdict so the artifact discloses what happened.
+    trustworthy, two ways:
+
+    1. self-consistent: the top-level stage walls (autoregressive_s +
+       diffusion_s + vocoder_s) must sum to within 25% of the pass's own
+       wall (BENCH_r03's batched B=8 entry summed to 21.1 s against a
+       10.8 s wall);
+    2. representative: with ``ref_wall`` (the async steady-state wall the
+       decomposition is meant to explain), the sync pass's wall must be
+       within 2x of it — a recompile or tunnel stall inflating one stage
+       passes check 1 with a garbage decomposition (an r5 probe recorded
+       a self-consistent sync pass at 14.2 s against a 1.57 s steady
+       wall, with 11.1 s "prefill").
+
+    Retries up to max_tries, keeps the best pass (consistent first, then
+    smallest wall), and reports the retry count + final verdict so the
+    artifact discloses what happened.
 
     run_sync() -> (timings_dict, wall_s, payload). Returns
     (payload, timings, wall, {"sync_retries": n, "sync_consistent": ok}).
@@ -138,14 +147,18 @@ def checked_sync(run_sync, max_tries: int = 3):
         timings, wall, payload = run_sync()
         ssum = sum(timings.get(k, 0.0) for k in top)
         err = abs(ssum - wall) / max(wall, 1e-9)
-        if best is None or err < best[0]:
-            best = (err, timings, wall, payload)
-        if err <= 0.25:
+        ok = err <= 0.25 and (ref_wall is None or wall <= 2.0 * ref_wall)
+        key = (not ok, wall)  # prefer consistent, then fastest
+        if best is None or key < best[0]:
+            best = (key, timings, wall, payload)
+        if ok:
             return payload, timings, wall, {
                 "sync_retries": attempt, "sync_consistent": True}
-        print(f"stage-sync decomposition inconsistent (sum {ssum:.2f}s vs "
-              f"wall {wall:.2f}s), retrying", file=sys.stderr, flush=True)
-    err, timings, wall, payload = best
+        print(f"stage-sync decomposition untrustworthy (sum {ssum:.2f}s, "
+              f"wall {wall:.2f}s, async ref "
+              f"{ref_wall if ref_wall is None else round(ref_wall, 2)}s), "
+              f"retrying", file=sys.stderr, flush=True)
+    _, timings, wall, payload = best
     return payload, timings, wall, {
         "sync_retries": max_tries - 1, "sync_consistent": False}
 
@@ -399,7 +412,7 @@ def main() -> int:
         res, wall = run(1, stage_sync=True)
         return res.timings, wall, res
 
-    best, _, sync_wall, sync_meta = checked_sync(run_sync)
+    best, _, sync_wall, sync_meta = checked_sync(run_sync, ref_wall=wall)
     result = dataclasses.replace(result, timings=best.timings)
 
     audio_s = len(result.audio) / result.sample_rate
@@ -543,7 +556,7 @@ def main() -> int:
                 return bres[0].timings, w, bres
 
             _, btim, bsync_wall, bsync_meta = checked_sync(
-                run_batch_sync)
+                run_batch_sync, ref_wall=bwall)
             btotal = sum(len(r.audio) / r.sample_rate for r in rs)
             line["batched"][str(bsz)] = {
                 "batch": bsz,
