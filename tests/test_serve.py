@@ -110,6 +110,33 @@ def test_error_isolation(models, voice, monkeypatch):
     assert server.stats()["failed_batches"] == 1
 
 
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_worker_death_fails_futures_not_hangs(models, voice, monkeypatch):
+    """A defect OUTSIDE the per-batch error isolation (an r4 snapshot
+    shipped a misnamed Future method there) must fail the outstanding
+    futures and close the server — not strand clients in result() forever
+    and stop() on queue.join()."""
+    rng = np.random.default_rng(5)
+
+    def boom(self, batch, sampler):
+        raise AttributeError("injected worker defect")
+
+    monkeypatch.setattr(serve.SynthesisServer, "_run_batch", boom)
+    server = serve.SynthesisServer(models, max_batch=4, max_wait_ms=50,
+                                   default_voice=voice)
+    with server:
+        futs = [server.submit(tokens=_tokens(rng, 4 + i)) for i in range(3)]
+        for f in futs:
+            # bounded wait: the whole point is that this resolves
+            with pytest.raises(AttributeError, match="injected"):
+                f.result(timeout=30)
+        # the server closed itself to new submits
+        with pytest.raises(RuntimeError):
+            server.submit(tokens=_tokens(rng, 4))
+    # and the with-block's stop(drain=True) returned (no queue.join hang)
+
+
 def test_warmup_compiles_buckets(models, voice):
     """warmup() runs one batch per B bucket directly (queue bypassed) and
     needs a default voice."""

@@ -70,6 +70,23 @@ def _check_seed(seed) -> int:
     return s
 
 
+def _fail_future(fut: "Future", exc: BaseException) -> None:
+    """Set `exc` on a future in any client-visible state: claim it if
+    still pending, tolerate already-RUNNING (claimed by a batch that died
+    before resolving it), and ignore client-cancelled/raced ones."""
+    try:
+        if fut.cancelled() or fut.done():
+            return
+        try:
+            if not fut.set_running_or_notify_cancel():
+                return  # client cancelled
+        except RuntimeError:
+            pass  # already RUNNING: set_exception below is legal
+        fut.set_exception(exc)
+    except Exception:
+        pass  # racing completion/cancellation; nothing left to report
+
+
 @dataclass
 class _Request:
     tokens: List[int]
@@ -165,7 +182,7 @@ class SynthesisServer:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if req.future.set_running_or_notify_start():  # not cancelled
+            if req.future.set_running_or_notify_cancel():  # not cancelled
                 req.future.set_exception(RuntimeError("server stopped"))
             self._queue.task_done()
 
@@ -428,20 +445,45 @@ class SynthesisServer:
         return batch
 
     def _run(self) -> None:
-        while not self._stop.is_set():
-            admitted = self._collect()
-            if not admitted:
-                continue
-            # the sampler settings are a whole-batch compile/sampling key:
-            # split the admission window into one synthesis batch per
-            # distinct setting (arrival order preserved within each)
-            groups: dict = {}
+        admitted: List[_Request] = []
+        try:
+            while not self._stop.is_set():
+                admitted = self._collect()
+                if not admitted:
+                    continue
+                # the sampler settings are a whole-batch compile/sampling
+                # key: split the admission window into one synthesis batch
+                # per distinct setting (arrival order preserved within
+                # each)
+                groups: dict = {}
+                for r in admitted:
+                    groups.setdefault(r.sampler, []).append(r)
+                for sampler, batch in groups.items():
+                    self._run_batch(batch, sampler)
+                for _ in range(len(admitted)):
+                    self._queue.task_done()
+                admitted = []
+        except BaseException as e:  # worker must never die silently
+            # a defect between _collect and the per-batch error isolation
+            # (an r4 snapshot shipped exactly that: a misnamed Future
+            # method) would otherwise strand every outstanding future in
+            # a wait-forever state AND hang stop(drain=True) on
+            # _queue.join(). Fail the admitted-but-unserved requests and
+            # everything still queued, keep the queue's task accounting
+            # balanced, then close the server to new submits.
             for r in admitted:
-                groups.setdefault(r.sampler, []).append(r)
-            for sampler, batch in groups.items():
-                self._run_batch(batch, sampler)
-            for _ in range(len(admitted)):
+                _fail_future(r.future, e)
                 self._queue.task_done()
+            with self._lock:
+                self._closed = True
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                _fail_future(req.future, e)
+                self._queue.task_done()
+            raise
 
     def _run_batch(self, batch: List[_Request], sampler: tuple) -> None:
         # claim each future before doing device work: a client that
@@ -449,7 +491,7 @@ class SynthesisServer:
         # cancelled future raises InvalidStateError, which would kill
         # the worker thread and hang stop(drain=True) forever)
         batch = [r for r in batch
-                 if r.future.set_running_or_notify_start()]
+                 if r.future.set_running_or_notify_cancel()]
         if not batch:
             return
         n = len(batch)
