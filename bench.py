@@ -7,7 +7,10 @@ the available accelerator and reports the real-time factor:
     RTF = wall seconds / audio seconds   (lower is better)
 
 One warmup pass absorbs jit compilation; the timed pass measures steady
-state. Prints ONE JSON line:
+state. Prints the headline JSON line as soon as the core numbers exist
+and RE-EMITS it, enriched, after each optional section — consumers must
+parse the LAST JSON line on stdout (it is always a complete artifact,
+even if the process is killed mid-section):
     {"metric": "rtf", "value": ..., "unit": "wall_s_per_audio_s",
      "vs_baseline": ...}
 
@@ -150,7 +153,11 @@ def checked_sync(run_sync, max_tries: int = 3, ref_wall=None):
         ssum = sum(timings.get(k, 0.0) for k in top)
         err = abs(ssum - wall) / max(wall, 1e-9)
         ok = err <= 0.25 and (ref_wall is None or wall <= 2.0 * ref_wall)
-        key = (not ok, wall)  # prefer consistent, then fastest
+        # fallback preference: a SELF-CONSISTENT slow pass beats a fast
+        # pass whose stages don't sum (the r03 garbage class) — if the
+        # composed-minimum route below is also rejected, the most
+        # self-consistent decomposition is the honest one to ship
+        key = (not ok, err, wall)
         if best is None or key < best[0]:
             best = (key, timings, wall, payload)
         if ok:

@@ -123,7 +123,10 @@ def test_worker_death_fails_futures_not_hangs(models, voice, monkeypatch):
         raise AttributeError("injected worker defect")
 
     monkeypatch.setattr(serve.SynthesisServer, "_run_batch", boom)
-    server = serve.SynthesisServer(models, max_batch=4, max_wait_ms=50,
+    # a generous admission window: all three submits must land in ONE
+    # batch, or the crash after batch 1 closes the server while the
+    # test is still submitting (a scheduling-dependent flake)
+    server = serve.SynthesisServer(models, max_batch=4, max_wait_ms=2000,
                                    default_voice=voice)
     with server:
         futs = [server.submit(tokens=_tokens(rng, 4 + i)) for i in range(3)]

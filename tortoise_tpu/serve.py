@@ -77,11 +77,15 @@ def _fail_future(fut: "Future", exc: BaseException) -> None:
     try:
         if fut.cancelled() or fut.done():
             return
-        try:
-            if not fut.set_running_or_notify_cancel():
-                return  # client cancelled
-        except RuntimeError:
-            pass  # already RUNNING: set_exception below is legal
+        # claim a PENDING future; skip the claim call when it is already
+        # RUNNING (set_running_or_notify_cancel on a RUNNING future logs
+        # a CRITICAL record inside concurrent.futures before raising)
+        if not fut.running():
+            try:
+                if not fut.set_running_or_notify_cancel():
+                    return  # client cancelled
+            except RuntimeError:
+                pass  # raced to RUNNING: set_exception below is legal
         fut.set_exception(exc)
     except Exception:
         pass  # racing completion/cancellation; nothing left to report
@@ -182,8 +186,7 @@ class SynthesisServer:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if req.future.set_running_or_notify_cancel():  # not cancelled
-                req.future.set_exception(RuntimeError("server stopped"))
+            _fail_future(req.future, RuntimeError("server stopped"))
             self._queue.task_done()
 
     def __enter__(self) -> "SynthesisServer":
@@ -468,14 +471,16 @@ class SynthesisServer:
             # (an r4 snapshot shipped exactly that: a misnamed Future
             # method) would otherwise strand every outstanding future in
             # a wait-forever state AND hang stop(drain=True) on
-            # _queue.join(). Fail the admitted-but-unserved requests and
-            # everything still queued, keep the queue's task accounting
-            # balanced, then close the server to new submits.
+            # _queue.join(). Close the server to new submits FIRST — a
+            # client woken by its future failing must not be able to
+            # slip a new request into the dead server — then fail the
+            # admitted-but-unserved requests and everything still
+            # queued, keeping the queue's task accounting balanced.
+            with self._lock:
+                self._closed = True
             for r in admitted:
                 _fail_future(r.future, e)
                 self._queue.task_done()
-            with self._lock:
-                self._closed = True
             while True:
                 try:
                     req = self._queue.get_nowait()
