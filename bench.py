@@ -412,13 +412,19 @@ def main() -> int:
     if child:
         # second-process probe: report this process's first-run wall (the
         # persistent-cache warm-start cost: weight upload + cached-compile
-        # loads) plus one steady-state pass, and exit
+        # loads) plus one steady-state pass, and exit. Emitted
+        # progressively (first-run line before the steady pass) so a
+        # parent-side timeout mid-steady still salvages the warm-start
+        # numbers from partial stdout.
+        probe = {"first_run_s": round(compile_wall, 3),
+                 "steady_run_s": None,
+                 "weights_build_s": round(build_s, 3),
+                 "upload_s": round(upload_s, 3),
+                 "plane_cache_hit": models_f32 is None and int8}
+        print(json.dumps(probe), flush=True)
         _, steady = run(1)
-        print(json.dumps({"first_run_s": round(compile_wall, 3),
-                          "steady_run_s": round(steady, 3),
-                          "weights_build_s": round(build_s, 3),
-                          "upload_s": round(upload_s, 3),
-                          "plane_cache_hit": models_f32 is None and int8}))
+        probe["steady_run_s"] = round(steady, 3)
+        print(json.dumps(probe), flush=True)
         return 0
 
     # the shared dev TPU slice shows +-50% run-to-run variance; report the
@@ -664,11 +670,20 @@ def main() -> int:
         env = dict(os.environ, BENCH_CHILD="1", BENCH_BATCH="0",
                    BENCH_WARMSTART="0", BENCH_ALT_PATH="0")
         try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True,
-                timeout=max(60.0, min(900.0, remaining_s())))
-            probe = json.loads(out.stdout.strip().splitlines()[-1])
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)], env=env,
+                    capture_output=True, text=True,
+                    timeout=max(60.0, min(900.0, remaining_s())))
+                stdout = out.stdout
+            except subprocess.TimeoutExpired as te:
+                # the child emits progressively — salvage what it got to
+                # (first-run line before the steady pass) and disclose
+                stdout = (te.stdout or b"")
+                if isinstance(stdout, bytes):
+                    stdout = stdout.decode("utf-8", "replace")
+                line["second_process_probe_timeout"] = True
+            probe = json.loads(stdout.strip().splitlines()[-1])
             line["second_process_first_run_s"] = probe["first_run_s"]
             line["second_process_steady_run_s"] = probe.get("steady_run_s")
             # the restart tax decomposed: host weight load (plane cache),
