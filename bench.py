@@ -579,7 +579,16 @@ def main() -> int:
                 models.ar_cfg = dataclasses.replace(models.ar_cfg,
                                                     fused_decode=False)
                 _, bcompile = run_batch(0)
+            # best of two timed passes: one bad moment in a drifting
+            # window otherwise ships as that B's number (an r5 interim
+            # recorded B=8/16 ~22% slow while B=4, minutes earlier, was
+            # at its usual level)
             rs, bwall = run_batch(1)
+            if remaining_s() > 2.5 * bwall:
+                # same seed: identical work, pure re-measure
+                rs2, bwall2 = run_batch(1)
+                if bwall2 < bwall:
+                    rs, bwall = rs2, bwall2
 
             def run_batch_sync():
                 bres, w = run_batch(1, stage_sync=True)
