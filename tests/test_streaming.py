@@ -146,6 +146,49 @@ def test_mel_windows_cover_and_blend():
     assert pos == out_len
 
 
+def test_mel_window_geometry_fuzz(monkeypatch):
+    """Window-arithmetic fuzz: across many (window, overlap,
+    first-window, utterance-length) combinations, the emitted spans must
+    tile [0, out_len) exactly once in order. The denoise dispatch is
+    stubbed out (identity on the sliced noise) so this sweeps dozens of
+    geometries in seconds — it guards the starts/emit-edge/crossfade
+    index logic (final window, short utterances, clamped first windows),
+    where an off-by-one silently drops or doubles frames."""
+    cfg = tiny_diffusion_config()
+    params = random_diffusion_params(cfg, seed=2)
+    rng = np.random.default_rng(4)
+
+    def fake_denoise(params, cfg_, sched, code_emb2, noise_w, buckets_w,
+                     mask_w, key, variance_swap, compute_dtype):
+        return noise_w  # (1, n_mel, wp) — correct shape, no compute
+
+    monkeypatch.setattr(st, "_denoise_window", fake_denoise)
+
+    cases = []
+    for keep in (2, 5, 15, 33):
+        out_len = mel_length_for_latents(keep)
+        for w in (4, 8, 24, 64):
+            for ov in (0, 2, w // 2 - 1):
+                if ov < 0 or ov >= w:
+                    continue
+                for fw in (None, ov + 1, w + 9):
+                    cases.append((keep, out_len, w, ov, fw))
+    assert len(cases) > 50
+    for keep, out_len, w, ov, fw in cases:
+        lat = jnp.asarray(rng.normal(0, 0.5, (1, max(keep, 4), cfg.d_model)),
+                          jnp.float32)
+        spans = list(st.stream_mel_windows(
+            params, cfg, lat, keep, seed=9, window_frames=w,
+            overlap_frames=ov, first_window_frames=fw))
+        pos = 0
+        for (s, e, block) in spans:
+            assert s == pos and e > s, \
+                (keep, w, ov, fw, [(a, b) for a, b, _ in spans])
+            assert block.shape == (cfg.n_mel, e - s)
+            pos = e
+        assert pos == out_len, (keep, out_len, w, ov, fw, pos)
+
+
 def test_stream_synthesize_end_to_end():
     """Tiny models end-to-end: contiguous chunks, correct total length,
     first-audio latency recorded, multiple chunks before the end."""
