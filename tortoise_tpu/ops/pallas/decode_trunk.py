@@ -44,8 +44,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e30
-
 
 def _layer_norm(x, w, b, eps):
     xf = x.astype(jnp.float32)

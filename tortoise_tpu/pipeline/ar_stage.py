@@ -186,8 +186,6 @@ def size_cache(cfg: ARConfig, bucket: int) -> ARConfig:
     Decode attention streams the whole (L, B, H, C, Dh) cache every step,
     so a 1024-slot cache wastes ~40% of that traffic for short prompts.
     The text bucket is already a compile key, so this adds no recompiles."""
-    import dataclasses
-
     need = bucket + 2 + cfg.max_decode_steps
     fitted = min(cfg.cache_len, (need + 127) // 128 * 128)
     if fitted == cfg.cache_len:
@@ -698,6 +696,12 @@ def autoregressive(
             step += 1
     else:
         raise ValueError(f"unknown sampler '{sampler}'")
+
+    if st is not None:
+        # the host-parity loop interleaves device evals with host
+        # sampling; its wall is the decode-loop cost on this plane
+        st["ar_decode_loop_s"] = time.monotonic() - t_sub
+        st["ar_decode_steps"] = step + 1
 
     padded = [apply_padding(s, cfg) for s in sequences]
 

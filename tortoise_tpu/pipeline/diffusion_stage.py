@@ -31,6 +31,7 @@ from tortoise_tpu.models import diffusion as dmodel
 from tortoise_tpu.ops.relpos import relative_position_buckets
 from tortoise_tpu.pipeline import schedule as ds
 from tortoise_tpu.pipeline.common import (
+    device_barrier,
     mesh_context,
     mesh_size,
     pure_dp,
@@ -323,10 +324,13 @@ def _diffusion_all_dp_jit(params, cfg, sched, lat_in, lat_buckets, lat_lens,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "variance_swap", "compute_dtype")
+    jax.jit, static_argnames=("cfg", "compute_dtype")
 )
 def _denoise_eval_jit(params, cfg, code_emb2, x, t_orig, out_buckets,
-                      out_mask, variance_swap=True, compute_dtype=None):
+                      out_mask, compute_dtype=None):
+    # no variance_swap here: the flag only affects the HOST posterior
+    # math (posterior_step) — carrying it as a static jit arg would
+    # recompile the identical denoiser eval per flag value
     out = dmodel.denoise(params, cfg, jnp.concatenate([x, x], axis=0),
                          code_emb2, t_orig, out_buckets, out_mask,
                          compute_dtype)
@@ -368,6 +372,8 @@ def diffusion_batch(
     bounds) and the callback fires after each chunk completes."""
     params = _prepare_params(params, int8_weights)
     lats = [np.asarray(l, np.float32) for l in latents_list]
+    if not lats:
+        raise ValueError("latents_list is empty")
     b = len(lats)
     lat_lens = np.asarray([l.shape[0] for l in lats], np.int32)
     out_lens = np.asarray([mel_length_for_latents(int(n)) for n in lat_lens],
@@ -454,7 +460,11 @@ def diffusion_batch(
                     out_mask_sh, key, jnp.int32(lo), jnp.int32(hi),
                     variance_swap, compute_dtype,
                 )
-                x.block_until_ready()
+                # device_barrier, not block_until_ready: the latter can
+                # return early over the remote-TPU tunnel (see
+                # pipeline/common.py) and the progress callback would
+                # race ahead of real compute
+                device_barrier(x)
                 progress(hi / n)
         x = np.asarray(x)
     return [x[i, :, : out_lens[i]] for i in range(b)]
@@ -478,6 +488,8 @@ def diffusion_batch_device(
     remote-TPU tunnel). Returns (mel_dev, out_lens np.ndarray)."""
     params = _prepare_params(params, int8_weights)
     b = latents_dev.shape[0]
+    if b == 0:
+        raise ValueError("latents_dev has no rows")
     lat_lens = np.asarray(keep_lens, np.int32)
     out_lens = np.asarray([mel_length_for_latents(int(n)) for n in lat_lens],
                           np.int32)
@@ -605,8 +617,7 @@ def diffusion(
     for i in range(cfg.n_sample_timesteps):
         t = cfg.n_sample_timesteps - 1 - i
         out = _denoise_eval_jit(params, cfg, code_emb2, x, tmap[t],
-                                out_buckets, mask_dev, variance_swap,
-                                compute_dtype)
+                                out_buckets, mask_dev, compute_dtype)
         out = np.asarray(out)
         cond_mean = out[0:1, : cfg.n_mel]
         var_frac = out[0:1, cfg.n_mel :]

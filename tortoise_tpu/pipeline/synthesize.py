@@ -387,6 +387,7 @@ def synthesize(
             sampler=sampler, seed=seed, rng=rng,
             compute_dtype=compute_dtype, int8_weights=int8_weights,
             sampler_params=sampler_params,
+            substage_timings=timings if stage_sync else None,
         )
         timings["autoregressive_s"] = time.monotonic() - t0
 
