@@ -172,11 +172,12 @@ def stream_mel_windows(params, cfg: DiffusionConfig, latents_dev, keep_len,
         lo = s - a                                      # emit offset
         new = mel_w[:, lo : lo + (e - s)]
         if i > 0 and ov:
-            ov_eff = min(ov, s)
-            prev = mel_buf[:, s - ov_eff : s]
-            cur = mel_w[:, lo - ov_eff : lo]
-            r = ramp[:, -ov_eff:]
-            mel_buf[:, s - ov_eff : s] = (1.0 - r) * prev + r * cur
+            # the full crossfade span always exists: s >= w0 > ov for
+            # every non-first window (validated at entry), and the
+            # window start a <= s - ov so mel_w covers [s-ov, s)
+            prev = mel_buf[:, s - ov : s]
+            cur = mel_w[:, lo - ov : lo]
+            mel_buf[:, s - ov : s] = (1.0 - ramp) * prev + ramp * cur
         mel_buf[:, s:e] = new
         last = e >= out_len
         # frames still subject to the NEXT window's crossfade stay held

@@ -377,9 +377,12 @@ def synthesize(
             latents = [np.asarray(lat_dev[b, : keeps[b]])
                        for b in range(lat_dev.shape[0])]
         else:
-            # serving mode: skip the mel/latent downloads
+            # serving mode: skip the mel/latent downloads. latents stays
+            # a per-candidate LIST (of Nones) so result.latents[i] is
+            # shape-stable with the materialized form and with
+            # synthesize_batch's rows
             mel = None
-            latents = None
+            latents = [None] * lat_dev.shape[0]
     else:
         t0 = time.monotonic()
         latents, sequences = ar_stage.autoregressive(

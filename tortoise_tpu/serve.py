@@ -149,6 +149,11 @@ class SynthesisServer:
         # while the chunk is with the client), so batches and stream
         # windows interleave rather than one starving the other.
         self._device_lock = threading.Lock()
+        # serializes stop() against concurrent stop() callers (e.g. a
+        # signal handler plus a finally:). NOT self._lock: the worker's
+        # death handler takes _lock while stop() joins the worker —
+        # holding _lock across the join would deadlock
+        self._stop_lock = threading.Lock()
         self._closed = True  # flipped by start()/stop() under _lock
         self._stats = {"batches": 0, "rows": 0, "padded_rows": 0,
                        "failed_batches": 0}
@@ -167,27 +172,30 @@ class SynthesisServer:
 
     def stop(self, drain: bool = True) -> None:
         """Stop the worker. With drain=True (default) queued requests are
-        served first; otherwise they fail with RuntimeError."""
-        if self._worker is None:
-            return
-        with self._lock:
-            # no new submits land after this point (submit checks _closed
-            # under the same lock before enqueueing, so a concurrent
-            # request can't slip in between the drain and worker exit and
-            # hang its future forever)
-            self._closed = True
-        if drain:
-            self._queue.join()
-        self._stop.set()
-        self._worker.join()
-        self._worker = None
-        while True:  # fail anything left (drain=False path)
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            _fail_future(req.future, RuntimeError("server stopped"))
-            self._queue.task_done()
+        served first; otherwise they fail with RuntimeError. Safe to call
+        from multiple threads and repeatedly (later calls no-op)."""
+        with self._stop_lock:
+            worker = self._worker
+            if worker is None:
+                return
+            with self._lock:
+                # no new submits land after this point (submit checks
+                # _closed under the same lock before enqueueing, so a
+                # concurrent request can't slip in between the drain and
+                # worker exit and hang its future forever)
+                self._closed = True
+            if drain:
+                self._queue.join()
+            self._stop.set()
+            worker.join()
+            self._worker = None
+            while True:  # fail anything left (drain=False path)
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                _fail_future(req.future, RuntimeError("server stopped"))
+                self._queue.task_done()
 
     def __enter__(self) -> "SynthesisServer":
         return self.start()
@@ -271,31 +279,23 @@ class SynthesisServer:
             message, tokens, voice, temperature, top_k, top_p_drop,
             repetition_penalty)
         seed = _check_seed(seed)
-        # Window geometry checks mirror streaming.stream_mel_windows;
-        # failing here (eagerly) beats failing after a full AR pass.
-        w, ov = int(window_frames), int(overlap_frames)
-        if w <= 0 or ov < 0 or ov >= w:
-            raise ValueError(f"need window_frames > overlap_frames >= 0, "
-                             f"got {window_frames}/{overlap_frames}")
-        if first_window_frames is not None and int(first_window_frames) <= ov:
-            raise ValueError(
-                f"first_window_frames={first_window_frames} must exceed "
-                f"overlap_frames={ov}")
-        margin = int(vocoder_margin)
-        if margin < 0:
-            raise ValueError(f"vocoder_margin must be >= 0, got {margin}")
+        # stream_synthesize is a plain function returning a generator: it
+        # validates window geometry at CALL time without device work, so
+        # bad geometry fails HERE (before any HTTP 200 commits) and the
+        # rules live in exactly one place (pipeline/streaming.py)
+        it = stream_synthesize(
+            self.models, tokens=tokens, voice=voice_arr,
+            seed=int(seed), compute_dtype=self.compute_dtype,
+            int8_weights=self.int8_weights,
+            window_frames=int(window_frames),
+            overlap_frames=int(overlap_frames),
+            vocoder_margin=int(vocoder_margin),
+            first_window_frames=first_window_frames,
+            sampler_params=sampler)
 
         def gen():
             with self._lock:
                 self._stats["streams"] = self._stats.get("streams", 0) + 1
-            it = stream_synthesize(
-                self.models, tokens=tokens, voice=voice_arr,
-                seed=int(seed), compute_dtype=self.compute_dtype,
-                int8_weights=self.int8_weights,
-                window_frames=w, overlap_frames=ov,
-                vocoder_margin=margin,
-                first_window_frames=first_window_frames,
-                sampler_params=sampler)
             while True:
                 # device work happens inside next(); the yield below runs
                 # with the lock RELEASED, so client backpressure never
@@ -618,11 +618,25 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
                       for k in ("window_frames", "overlap_frames",
                                 "first_window_frames", "vocoder_margin")
                       if k in req}
-                # validation (tokens/voice/sampler) runs eagerly, before
-                # any device work, so bad input still gets a clean 400
+                # validation (tokens/voice/sampler/geometry) runs
+                # eagerly, before any device work, so bad input still
+                # gets a clean 400
                 chunks = server.stream(**self._request_kwargs(req), **kw)
+            except RuntimeError as e:  # server stopping: retryable
+                return self._json(503, {"error": str(e)})
             except Exception as e:
                 return self._json(400, {"error": str(e)})
+            # run the AR stage + first diffusion window BEFORE committing
+            # the 200: that span is the longest and most failure-prone
+            # (compile/OOM), and once the 200 is out a failure can only
+            # surface as a truncated body
+            it = iter(chunks)
+            try:
+                first = next(it, None)
+            except RuntimeError as e:
+                return self._json(503, {"error": str(e)})
+            except Exception as e:
+                return self._json(500, {"error": str(e)})
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Transfer-Encoding", "chunked")
@@ -630,8 +644,12 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
             sr = server.models.vocoder_cfg.sample_rate
             try:
                 self._chunk(streaming_wav_header(sr))
-                for c in chunks:
-                    self._chunk(np.asarray(c.audio, np.float32).tobytes())
+                if first is not None:
+                    self._chunk(
+                        np.asarray(first.audio, np.float32).tobytes())
+                    for c in it:
+                        self._chunk(
+                            np.asarray(c.audio, np.float32).tobytes())
                 self._chunk(b"")  # terminating 0-length chunk
             except Exception:
                 # the 200 is already on the wire; drop the connection so
@@ -640,17 +658,27 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
                 raise
 
         def do_POST(self):
+            # read the body FIRST: replying without draining it desyncs
+            # HTTP/1.1 keep-alive (the unread bytes would be parsed as
+            # the connection's next request line)
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length)
+            except Exception as e:
+                self.close_connection = True
+                return self._json(400, {"error": str(e)})
             if self.path not in ("/synthesize", "/stream"):
                 return self._json(404, {"error": "not found"})
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                req = json.loads(raw or b"{}")
             except Exception as e:
                 return self._json(400, {"error": str(e)})
             if self.path == "/stream":
                 return self._do_stream(req)
             try:
                 fut = server.submit(**self._request_kwargs(req))
+            except RuntimeError as e:  # server stopping: retryable
+                return self._json(503, {"error": str(e)})
             except Exception as e:  # this request's input was bad
                 return self._json(400, {"error": str(e)})
             try:
@@ -707,15 +735,9 @@ def main(argv=None) -> int:
             0, 0.5, (models.ar_cfg.d_model,)).astype(np.float32)
     else:
         models = TortoiseModels.from_ggml_dir(args.models, args.cache_dir)
+        # bare names / models-relative filenames resolve inside the
+        # server's _load_voice (voice_dir=args.models below)
         voice = args.voice
-        if not os.path.exists(voice):
-            # bare name (mol -> models/mol.bin) or models-relative
-            # filename (mol.bin -> models/mol.bin), like the CLI
-            for cand in (os.path.join(args.models, args.voice + ".bin"),
-                         os.path.join(args.models, args.voice)):
-                if os.path.exists(cand):
-                    voice = cand
-                    break
     compute_dtype = None
     if args.bf16:
         import jax.numpy as jnp
