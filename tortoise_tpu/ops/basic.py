@@ -54,6 +54,8 @@ def pdot(x: jax.Array, w, compute_dtype=None, out_dtype=None) -> jax.Array:
         out = jnp.matmul(x.astype(cd), wq.astype(cd),
                          preferred_element_type=jnp.float32, precision=prec)
         out = out * scale
+        if compute_dtype is None:
+            return out  # parity path always returns f32 (as below)
         return out.astype(out_dtype) if out_dtype is not None else out
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -247,9 +249,7 @@ def _group_norm_tc_fast(x, n_groups: int, w=None, b=None,
     inv_c = jnp.repeat(inv, cg, axis=-1)                   # (..., C)
     mean_c = jnp.repeat(mean, cg, axis=-1)
     scale = inv_c if w is None else inv_c * w
-    shift = -mean_c * inv_c
-    if w is not None:
-        shift = -mean_c * inv_c * w
+    shift = -mean_c * scale
     if b is not None:
         shift = shift + b
     out = xf * scale[..., None, :] + shift[..., None, :]

@@ -59,6 +59,11 @@ def conv1d_nwc(x, w, b=None, stride: int = 1, padding: int = 0,
     int8 MXU path with dynamic activation quantization. The kernel size
     is implied by ``padding`` (the dense case requires k = 2*padding+1),
     keeping the pair a clean two-leaf pytree for lax.scan stacking."""
+    if compute_dtype is None:
+        # parity path stays f32 in EVERY branch: honoring out_dtype only
+        # for some kernel sizes would make parity-plane precision depend
+        # silently on k/stride/groups
+        out_dtype = None
     if isinstance(w, tuple):
         from tortoise_tpu.ops.basic import pdot_int8act
 
@@ -114,8 +119,6 @@ def conv1d_nwc(x, w, b=None, stride: int = 1, padding: int = 0,
             xk = jnp.concatenate([xp[:, j : j + t] for j in range(k)],
                                  axis=-1)                  # (N, T, K*C_in)
         wmat = w.transpose(2, 1, 0).reshape(k * w.shape[1], w.shape[0])
-        if compute_dtype is None:
-            out_dtype = None  # parity path stays f32
         out = jnp.matmul(xk, wmat,
                          preferred_element_type=out_dtype or jnp.float32,
                          precision=precision)

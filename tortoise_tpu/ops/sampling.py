@@ -65,16 +65,17 @@ def top_p_filter(logits: jax.Array, p_drop: float = 0.2) -> jax.Array:
     """The reference's ascending-cumsum nucleus filter (main.cpp:4656-4693):
     drop tokens in the low tail whose cumulative probability is <= p_drop,
     never dropping the largest element."""
-    v = logits.shape[-1]
     order = jnp.argsort(logits, axis=-1)  # ascending
     s = jnp.take_along_axis(logits, order, axis=-1)
     probs = jax.nn.softmax(s, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     drop_sorted = cum <= p_drop
     drop_sorted = drop_sorted.at[..., -1].set(False)  # largest never dropped
-    drop = jnp.zeros_like(drop_sorted).at[
-        jnp.arange(logits.shape[0])[:, None], order
-    ].set(drop_sorted)
+    # rank-generic inverse permutation (gather beats scatter on TPU and
+    # works for any batch shape): drop[..., tok] = drop_sorted[..., pos]
+    # with order[..., pos] = tok
+    inv = jnp.argsort(order, axis=-1)
+    drop = jnp.take_along_axis(drop_sorted, inv, axis=-1)
     return jnp.where(drop, F32_LOWEST, logits)
 
 
