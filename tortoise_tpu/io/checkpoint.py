@@ -146,10 +146,31 @@ def save_npz(path: str, params: dict) -> None:
             flat[prefix[:-1]] = np.asarray(node)
 
     rec("", params)
-    np.savez(path, **flat)
+    # atomic publish (tmp + rename, like io/plane_cache.py): an
+    # interrupted multi-second savez of a ~GB tree must not leave a
+    # truncated zip at the final path — _cache_fresh would accept it by
+    # mtime and every later run would die in load_npz
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    try:
+        np.savez(tmp, **flat)
+        # np.savez appends .npz when the target lacks the suffix
+        produced = tmp if os.path.exists(tmp) else tmp + ".npz"
+        os.replace(produced, path)
+    except BaseException:
+        for cand in (tmp, tmp + ".npz"):
+            if os.path.exists(cand):
+                os.unlink(cand)
+        raise
 
 
 def load_npz(path: str) -> dict:
+    """Inverse of save_npz. NOTE: sequence nodes come back as LISTS
+    (this codec does not record list-vs-tuple, unlike io/plane_cache's
+    manifest codec) — consumers that branch on `isinstance(w, tuple)`
+    for quantized pairs must normalize, as quantize_ar_host /
+    quantize_diffusion_weights already do."""
     out: dict = {}
     with np.load(path) as z:
         for key in z.files:

@@ -87,6 +87,10 @@ def _read_ggml_py(path: str, mmap: bool) -> Dict[str, np.ndarray]:
             raise ValueError(f"{path}: corrupt record header at {pos - 12}")
         ne = struct.unpack_from(f"<{n_dims}i", buf, pos)
         pos += 4 * n_dims
+        if any(d < 0 for d in ne):
+            # symmetric with the native scanner: a negative dim flips
+            # the payload size negative and walks the cursor backwards
+            raise ValueError(f"{path}: corrupt record dims at {pos}")
         name = bytes(buf[pos : pos + name_len]).decode("utf-8")
         pos += name_len
         dtype = _GGML_DTYPES.get(ttype)

@@ -52,8 +52,12 @@ def _flatten(prefix, node, out, lists):
 
 def save_plane(tree: dict, path: str) -> None:
     """Write `tree` (host numpy pytree of dict/list/tuple/ndarray) under
-    directory `path`, atomically (tmp dir + rename). Concurrent writers
-    race benignly: one os.replace wins, the loser discards its tmp."""
+    directory `path`, atomically (tmp dir + rename). `path` must be
+    content-keyed (a pure function of what produced the tree): when a
+    complete cache already exists it is kept as-is and this write is
+    discarded — replacing it would yank leaves out from under a
+    concurrent reader that already validated the manifest. Concurrent
+    writers race benignly: one publish wins, the losers discard."""
     flat: dict = {}
     lists: list = []
     _flatten("", tree, flat, lists)
@@ -67,14 +71,18 @@ def save_plane(tree: dict, path: str) -> None:
     os.makedirs(tmp, exist_ok=True)
     with open(os.path.join(tmp, _MANIFEST), "w") as f:
         json.dump({"keys": sorted(flat), "lists": sorted(lists)}, f)
+    if plane_exists(path):
+        # another writer already published a complete cache of the same
+        # content (the plane is a pure function of the weights); NEVER
+        # rmtree it to install ours — a reader that just validated its
+        # manifest would hit FileNotFoundError on the leaves mid-load
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
     try:
-        if os.path.exists(path):
-            shutil.rmtree(path)
         os.replace(tmp, path)
     except OSError:
-        # two cold-starting processes saved the same plane: the other
-        # writer's replace landed between our rmtree and replace. Their
-        # cache is equivalent; drop ours.
+        # two cold-starting processes raced the publish: the other
+        # writer's replace landed first. Their cache is equivalent.
         if not plane_exists(path):
             raise
         shutil.rmtree(tmp, ignore_errors=True)
@@ -90,21 +98,27 @@ def load_plane(path: str, mmap: bool = True) -> Optional[dict]:
     stream from disk on first touch — typically during device upload —
     instead of an up-front read pass."""
     mf = os.path.join(path, _MANIFEST)
-    if not os.path.exists(mf):
+    try:
+        with open(mf) as f:
+            manifest = json.load(f)
+    except (OSError, ValueError):
         return None
-    with open(mf) as f:
-        manifest = json.load(f)
     keys = manifest["keys"]
     list_paths = set(manifest.get("lists", ()))
     out: dict = {}
     mode = "r" if mmap else None
-    for key in keys:
-        node = out
-        parts = key.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = np.load(os.path.join(path, key + ".npy"),
-                                  mmap_mode=mode)
+    try:
+        for key in keys:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = np.load(os.path.join(path, key + ".npy"),
+                                      mmap_mode=mode)
+    except OSError:
+        # the cache vanished under us (manual cleanup, external tooling):
+        # a cold start is the contract, not a crash
+        return None
 
     def fold(node, prefix):
         if not isinstance(node, dict):

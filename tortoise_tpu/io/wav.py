@@ -75,6 +75,10 @@ def read_wav(path: str):
         elif chunk_id == b"data":
             data = body
         pos += 8 + size + (size & 1)
-    if data is None or fmt != _WAVE_FORMAT_IEEE_FLOAT or bits != 32:
-        raise ValueError(f"{path}: unsupported WAV layout (fmt={fmt}, bits={bits})")
+    if data is None or fmt != _WAVE_FORMAT_IEEE_FLOAT or bits != 32 \
+            or _ch != 1:
+        # the channel check matters: a stereo float WAV would otherwise
+        # come back as interleaved L/R posing as double-length mono
+        raise ValueError(f"{path}: unsupported WAV layout (fmt={fmt}, "
+                         f"channels={_ch}, bits={bits})")
     return np.frombuffer(data, dtype=np.float32), rate

@@ -43,20 +43,31 @@ def build(force: bool = False) -> str | None:
         newest_src = max(os.path.getmtime(s) for s in sources)
         if os.path.getmtime(_LIB_PATH) >= newest_src:
             return _LIB_PATH
+    # compile to a private tmp path and atomically publish: a killed or
+    # concurrent build must never leave a truncated .so at _LIB_PATH
+    # (its fresh mtime would suppress rebuilds while CDLL fails forever
+    # after, silently disabling the native plane)
+    tmp = f"{_LIB_PATH}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-        *sources, "-o", _LIB_PATH,
+        *sources, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
     except Exception:
         _build_failed = True
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return None
     return _LIB_PATH
 
 
 def _get_lib():
-    global _lib
+    global _lib, _build_failed
     if _lib is not None:
         return _lib
     if _build_failed:
@@ -67,8 +78,19 @@ def _get_lib():
         path = build()
         if path is None:
             return None
-        lib = ctypes.CDLL(path)
-        _configure(lib)
+        try:
+            lib = ctypes.CDLL(path)
+            _configure(lib)
+        except Exception:
+            # a bad artifact won't get better by reloading: remember the
+            # failure (callers fall back to the pure-Python planes) and
+            # drop the artifact so the NEXT process rebuilds cleanly
+            _build_failed = True
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+            return None
         _lib = lib
     return _lib
 

@@ -84,8 +84,12 @@ def make_reference_rng(seed_file: str, dist_file: Optional[str] = None):
     if dist_file:
         try:
             rng.load_normal_state_file(dist_file)
-        except Exception:
-            pass  # uniform-distribution fixtures carry no state
+        except ValueError:
+            # uniform-distribution fixtures carry no normal state (their
+            # serialization has < 3 fields) — that is the ONLY condition
+            # silently ignored; unreadable/corrupt fixtures must surface
+            # here, not as a confusing numeric FAIL downstream
+            pass
     return rng
 
 
