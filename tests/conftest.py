@@ -1,35 +1,18 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
 Tests never require the real TPU; sharding tests use the virtual devices.
-
-The surrounding environment may pin JAX to a tunneled TPU plugin (e.g.
-JAX_PLATFORMS=axon registered by a sitecustomize at interpreter start, whose
-plugin init can block for minutes). Setting the env var here is too late —
-jax.config already captured it — so we update the config directly and
-deregister the plugin factory before any backend initializes.
+All the environmental hardening (replacing a pre-existing device-count
+flag, pinning jax.config past a sitecustomize-registered TPU plugin,
+clearing PALLAS_AXON_POOL_IPS for subprocesses) lives in
+tortoise_tpu.utils.runtime.force_virtual_cpu — shared with
+tests/gen_pseudo_golden.py and __graft_entry__.
 """
 
 import os
 import sys
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-try:
-    import jax._src.xla_bridge as _xb
-
-    if _xb.backends_are_initialized():  # a fixture already touched devices
-        from jax.extend.backend import clear_backends
-
-        clear_backends()
-    _xb._backend_factories.pop("axon", None)
-except Exception:
-    pass
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tortoise_tpu.utils.runtime import force_virtual_cpu  # noqa: E402
+
+force_virtual_cpu(n_devices=8)

@@ -9,27 +9,11 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # force CPU unconditionally: the fixtures must be generated on the same
-# deterministic backend the tests run on, and the surrounding environment
-# may pre-set these to point at a tunneled TPU plugin. A sitecustomize
-# can register that plugin before this script runs, so (like
-# tests/conftest.py) update the jax config directly and deregister the
-# factory — env vars alone are captured too early to help.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# deterministic backend the tests run on (shared hardening with
+# tests/conftest.py and __graft_entry__)
+from tortoise_tpu.utils.runtime import force_virtual_cpu  # noqa: E402
 
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-try:
-    import jax._src.xla_bridge as _xb
-
-    if _xb.backends_are_initialized():
-        from jax.extend.backend import clear_backends
-
-        clear_backends()
-    _xb._backend_factories.pop("axon", None)
-except Exception:
-    pass
+force_virtual_cpu()
 
 import numpy as np  # noqa: E402
 

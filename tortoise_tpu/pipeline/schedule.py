@@ -80,6 +80,11 @@ def make_schedule(n_train: int = 4000, timestep_map=None,
         timestep_map = (TIMESTEP_MAP_80 if n_steps == 80
                         else make_timestep_map(n_steps, n_train))
     tmap = np.asarray(timestep_map, np.int64)
+    if tmap.size < 2:
+        # the guard in make_timestep_map must also cover caller-supplied
+        # maps: post_logvar below indexes post_var[1]
+        raise ValueError("need at least 2 sampling timesteps, got "
+                         f"{tmap.size}")
     acp_full = np.cumprod(1.0 - linear_betas(n_train))
     acp_at = acp_full[tmap]
     # the reference's respacing accumulator is a FLOAT

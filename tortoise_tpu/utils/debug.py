@@ -62,18 +62,30 @@ def compare_dumps(dir_a: str, dir_b: str, atol: float = 1e-2,
     catch — as a pass)."""
 
     def index(d: str) -> Dict[str, str]:
-        out = {}
+        # key on the stripped name PLUS a per-name occurrence ordinal:
+        # repeated dump names (per-layer dumps like 0000_attn_out,
+        # 0012_attn_out) must each be compared — a plain name->path map
+        # kept only the LAST occurrence, silently passing divergences in
+        # every earlier layer
+        out: Dict[str, str] = {}
+        seen: Dict[str, int] = {}
         for f in sorted(os.listdir(d)):
             if f.endswith(".npy"):
                 stem = f[: -len(".npy")]
                 head, _, tail = stem.partition("_")
                 # strip only a numeric counter prefix; keep bare names
                 name = tail if tail and head.isdigit() else stem
-                out[name] = os.path.join(d, f)
+                i = seen.get(name, 0)
+                seen[name] = i + 1
+                out[name if i == 0 else f"{name}@{i}"] = os.path.join(d, f)
         return out
 
     a, b = index(dir_a), index(dir_b)
     bad = []
+    # a tensor dumped by only one run IS a divergence (a crashed or
+    # renamed stage must not read as a clean diff)
+    for name in sorted(set(a) ^ set(b)):
+        bad.append((name + " (only one side)", float("inf")))
     for name in sorted(set(a) & set(b)):
         x, y = np.load(a[name]), np.load(b[name])
         if x.shape != y.shape:

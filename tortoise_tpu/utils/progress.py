@@ -5,7 +5,11 @@ from __future__ import annotations
 import sys
 
 
-def progress_bar(fraction: float, width: int = 50, out=sys.stderr) -> None:
+def progress_bar(fraction: float, width: int = 50, out=None) -> None:
+    # resolve sys.stderr at CALL time: binding it as a default captured
+    # the import-time stream object, bypassing redirect_stderr/pytest
+    # capture (and writing to a possibly-closed stream)
+    out = sys.stderr if out is None else out
     fraction = min(max(fraction, 0.0), 1.0)
     filled = int(width * fraction)
     bar = "=" * filled + " " * (width - filled)
