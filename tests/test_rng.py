@@ -89,6 +89,27 @@ def test_fixture_normal_state_parses():
     assert rng._normal_saved is None  # fixture stores avail=0
 
 
+@needs_native
+def test_non_unit_normal_state_matches_libstdcxx():
+    """A restored state with non-(0,1) parameters must scale like
+    libstdc++ (ret = raw*stddev + mean, saved value raw) — the Python
+    twin used to discard mean/stddev while the native plane applied
+    them, so the two backends drew different streams."""
+    py, nat = PyStdRng(5), StdRng(5)
+    for r in (py, nat):
+        r.load_normal_state("2.5 0.5 0")
+    np.testing.assert_array_equal(py.normal_double(7), nat.normal_double(7))
+    np.testing.assert_array_equal(py.normal_double(4), nat.normal_double(4))
+
+
+def test_truncated_normal_state_raises():
+    rng = PyStdRng(0)
+    import pytest
+
+    with pytest.raises(ValueError):
+        rng.load_normal_state("0 1 1")  # avail flag set, saved missing
+
+
 def test_reference_rng_multinomial_consumes_two_uniforms():
     a = ReferenceRng(seed=11, force_python=True)
     b = ReferenceRng(seed=11, force_python=True)

@@ -107,11 +107,58 @@ def test_native_and_python_encoders_agree(tok):
         "this[SPACE]is[SPACE]a[SPACE]test[SPACE]message.",
         "based...[SPACE]doctor[SPACE]freeman?",
         "x[STOP]y", "", "a~b", "the[SPACE]the",
-        # one regex word encoding to >4096 ids: the native plane must
-        # grow its output buffer, not silently truncate
+        # one regex word producing >4096 ids must not truncate
         "m" * 5000,
+        # embedded NUL inside a word: the native ABI takes an explicit
+        # byte length (a NUL-terminated API silently dropped the tail)
+        "a!\x00!b",
+        # lone surrogate (json.loads accepts \ud800 escapes): the native
+        # plane can't UTF-8-encode it and must fall back per word
+        "ab\ud800cd",
     ]:
-        assert native_tok.encode(text) == py_tok.encode(text), text
+        assert native_tok.encode(text) == py_tok.encode(text), repr(text)
+
+
+def test_native_encoder_thread_safe(tok):
+    """Concurrent encodes (the serve HTTP layer tokenizes on handler
+    threads) must not corrupt each other — a shared output buffer once
+    let one thread read another's ids."""
+    try:
+        native_tok = Tokenizer.from_file(TOKENIZER_JSON)
+        assert native_tok._native is not None
+    except Exception:
+        import pytest
+
+        pytest.skip("native lib not built")
+    import threading
+
+    texts = ["this[SPACE]is[SPACE]a[SPACE]test[SPACE]message." * 8,
+             "based...[SPACE]doctor[SPACE]freeman?" * 8,
+             "the[SPACE]quick[SPACE]brown[SPACE]fox" * 8,
+             "m" * 3000]
+    expected = [native_tok.encode(t) for t in texts]
+    errors = []
+
+    def worker(idx):
+        for _ in range(50):
+            if native_tok.encode(texts[idx]) != expected[idx]:
+                errors.append(idx)
+                return
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(texts)) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, f"corrupted encodes from threads {errors}"
+
+
+def test_unknown_method_rejected(tok):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown tokenizer method"):
+        tok.encode("hi", method="Greedy")
 
 
 def test_bpe_merges_normalize_space_symbols(tmp_path):

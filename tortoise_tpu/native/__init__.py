@@ -142,7 +142,7 @@ def _configure(lib):
     lib.tok_free.argtypes = [ctypes.c_void_p]
     lib.tok_encode_word.restype = ctypes.c_int
     lib.tok_encode_word.argtypes = [
-        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int), ctypes.c_int,
     ]
 
@@ -265,20 +265,18 @@ class NativeTokenizer:
         blob = b"".join(parts)
         self._lib = lib
         self._handle = lib.tok_create(blob, len(blob))
-        self._buf = (ctypes.c_int * 4096)()
 
     def encode_word(self, word: str):
-        buf = self._buf
-        while True:
-            n = self._lib.tok_encode_word(
-                self._handle, word.encode("utf-8"), buf, len(buf)
-            )
-            if n < len(buf):
-                return list(buf[:n])
-            # buffer filled exactly: the word may have been truncated
-            # (silently diverging from the pure-Python plane) — retry
-            # with a larger buffer until the encoding fits
-            buf = (ctypes.c_int * (len(buf) * 4))()
+        # per-call buffer: a shared instance buffer raced under threaded
+        # serving (two HTTP handler threads tokenizing concurrently read
+        # each other's ids). Every emitted id consumes >= 1 input byte,
+        # so len(word_bytes) bounds the output exactly — no retry loop.
+        wb = word.encode("utf-8")  # UnicodeEncodeError (lone surrogates)
+        # is handled by the caller, which falls back to the pure plane
+        buf = (ctypes.c_int * max(1, len(wb)))()
+        n = self._lib.tok_encode_word(self._handle, wb, len(wb), buf,
+                                      len(buf))
+        return list(buf[:n])
 
     def __del__(self):
         try:

@@ -45,18 +45,24 @@ void tok_free(void* handle) { delete static_cast<Tok*>(handle); }
 
 // Encode one pre-split word with greedy longest-substring matching;
 // unknown single characters are dropped (common.cpp:318-336).
+// Takes an explicit byte length (a NUL-terminated API silently truncated
+// words containing embedded NULs, diverging from the pure-Python plane).
 // Returns the number of ids written.
-int32_t tok_encode_word(void* handle, const char* word_c, int32_t* out,
-                        int32_t max_out) {
+int32_t tok_encode_word(void* handle, const char* word_c, int32_t word_len,
+                        int32_t* out, int32_t max_out) {
   Tok* t = static_cast<Tok*>(handle);
-  std::string word(word_c);
+  const std::string word(word_c, static_cast<size_t>(word_len));
+  std::string key;  // probe buffer reused across positions/lengths —
+                    // word.substr per probe paid an allocation each
   int32_t n = 0;
   size_t i = 0;
   while (i < word.size() && n < max_out) {
     size_t longest = std::min(word.size() - i, t->max_len);
     bool matched = false;
+    key.assign(word, i, longest);
     for (size_t l = longest; l >= 1; --l) {
-      auto it = t->vocab.find(word.substr(i, l));
+      key.resize(l);
+      auto it = t->vocab.find(key);
       if (it != t->vocab.end()) {
         out[n++] = it->second;
         i += l;

@@ -37,6 +37,10 @@ int64_t wav_encoded_size(int64_t n_samples) {
 int wav_encode(const float* data, int64_t n_samples, int sample_rate,
                char* out) {
   if (!data || !out || n_samples < 0) return 0;
+  // RIFF sizes are u32: past ~4 GiB (about 12 hours at 24 kHz f32) the
+  // header fields would wrap and readers would drop almost all samples —
+  // fail loudly so the caller takes the pure-Python writer's error path
+  if (36 + n_samples * 4 > (int64_t)UINT32_MAX) return 0;
   WavHeader h;
   std::memcpy(h.riff, "RIFF", 4);
   h.riff_size = (uint32_t)(36 + n_samples * 4);

@@ -131,6 +131,12 @@ class PyStdRng:
     def __init__(self, seed: int = 0):
         self.engine = MT19937(seed)
         self._normal_saved: float | None = None
+        # libstdc++ scales at return: ret = raw * stddev + mean (the
+        # saved value is stored UNscaled). The reference only ever uses
+        # N(0,1), but a restored state must honor its parameters — the
+        # native backend (stdrng.cpp) already does
+        self._normal_mean = 0.0
+        self._normal_stddev = 1.0
 
     def load_state(self, text: str) -> None:
         self.engine.load_state_text(text)
@@ -145,6 +151,11 @@ class PyStdRng:
         if len(parts) < 3:
             raise ValueError("bad normal_distribution state")
         avail = bool(int(float(parts[2])))
+        if avail and len(parts) < 4:
+            raise ValueError("bad normal_distribution state: "
+                             "saved flag set but no saved value")
+        self._normal_mean = float(parts[0])
+        self._normal_stddev = float(parts[1])
         self._normal_saved = float(parts[3]) if avail else None
 
     def raw_u32(self, n: int) -> np.ndarray:
@@ -191,4 +202,7 @@ class PyStdRng:
             i += take
             if take < len(pair):  # odd tail: last x*mult becomes saved state
                 self._normal_saved = float(pair[take])
+        if self._normal_mean != 0.0 or self._normal_stddev != 1.0:
+            # libstdc++ scales at return; the saved value stays raw
+            out = out * self._normal_stddev + self._normal_mean
         return out

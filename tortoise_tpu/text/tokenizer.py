@@ -136,10 +136,21 @@ class Tokenizer:
                 ids.append(tok)
 
     def encode(self, text: str, method: str = "greedy") -> List[int]:
+        if method not in ("greedy", "bpe"):
+            # an unknown value must not silently select the OTHER plane
+            # (a 'Greedy' typo flipping to merge-BPE changes every token)
+            raise ValueError(f"unknown tokenizer method {method!r}; "
+                             f"expected 'greedy' or 'bpe'")
         ids: List[int] = []
         if method == "greedy" and self._native is not None:
             for word in self.split_words(text):
-                ids.extend(self._native.encode_word(word))
+                try:
+                    ids.extend(self._native.encode_word(word))
+                except UnicodeEncodeError:
+                    # lone surrogates (json.loads accepts \ud800 escapes)
+                    # can't cross the UTF-8 C ABI; the pure plane matches
+                    # by codepoint and handles them — same ids either way
+                    self._encode_word_greedy(word, ids)
             return ids
         enc = (
             self._encode_word_greedy
