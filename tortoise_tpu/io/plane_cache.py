@@ -79,6 +79,11 @@ def save_plane(tree: dict, path: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
         return
     try:
+        if os.path.exists(path):
+            # a manifest-LESS directory is a stale partial (no reader
+            # can be consuming it: load_plane requires the manifest) —
+            # clear it or os.replace fails ENOTEMPTY on every start
+            shutil.rmtree(path)
         os.replace(tmp, path)
     except OSError:
         # two cold-starting processes raced the publish: the other

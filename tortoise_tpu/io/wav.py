@@ -64,7 +64,7 @@ def read_wav(path: str):
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12
-    rate, fmt, bits = None, None, None
+    rate, fmt, bits, _ch = None, None, None, None
     data = None
     while pos + 8 <= len(raw):
         chunk_id = raw[pos : pos + 4]

@@ -7,6 +7,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <vector>
 
@@ -66,10 +67,14 @@ void* ggml_index_open(const char* path) {
     for (int d = 0; d < rec.n_dims; ++d) {
       int32_t dim;
       if (std::fread(&dim, 4, 1, f) != 1) { delete index; std::fclose(f); return nullptr; }
-      // a corrupt record with a negative dim would flip count negative
-      // and fseek BACKWARDS below — a crafted file could loop the
-      // scanner forever or emit garbage payload offsets
-      if (dim < 0) { delete index; std::fclose(f); return nullptr; }
+      // a corrupt record with a negative dim — or positive dims whose
+      // PRODUCT overflows int64 (signed-overflow UB) — would flip count
+      // negative and fseek BACKWARDS below: a crafted file could loop
+      // the scanner forever or emit garbage payload offsets
+      if (dim < 0 ||
+          (dim > 0 && count > std::numeric_limits<int64_t>::max() / dim)) {
+        delete index; std::fclose(f); return nullptr;
+      }
       rec.ne[d] = dim;
       count *= dim;
     }

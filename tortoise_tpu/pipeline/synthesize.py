@@ -130,10 +130,7 @@ class TortoiseModels:
                 if os.path.exists(path):
                     return load_npz(path)
                 params = fn(cfg, s, fast=True)
-                os.makedirs(cache_dir, exist_ok=True)
-                tmp = f"{path}.{os.getpid()}.tmp.npz"  # .npz: savez quirk
-                save_npz(tmp, params)
-                os.replace(tmp, path)
+                save_npz(path, params)  # internally atomic (tmp+replace)
                 return params
             return fn(cfg, s, fast=True)
 

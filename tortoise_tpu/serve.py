@@ -575,6 +575,11 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                # advertise the close (set for oversized/undrained
+                # bodies) so keep-alive clients don't try to reuse a
+                # connection the server is about to drop
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 
@@ -660,13 +665,21 @@ def make_http_server(server: SynthesisServer, host: str = "127.0.0.1",
         def do_POST(self):
             # read the body FIRST: replying without draining it desyncs
             # HTTP/1.1 keep-alive (the unread bytes would be parsed as
-            # the connection's next request line)
+            # the connection's next request line). Bound what we will
+            # buffer: requests are small JSON — an adversarial multi-GB
+            # Content-Length must not be slurped into RAM just to 404;
+            # oversized requests get their reply on a CLOSING connection
+            # (no drain needed when keep-alive is abandoned).
+            max_body = 16 << 20
             try:
                 length = int(self.headers.get("Content-Length", "0"))
-                raw = self.rfile.read(length)
             except Exception as e:
                 self.close_connection = True
                 return self._json(400, {"error": str(e)})
+            if length < 0 or length > max_body:
+                self.close_connection = True
+                return self._json(413, {"error": "request body too large"})
+            raw = self.rfile.read(length)
             if self.path not in ("/synthesize", "/stream"):
                 return self._json(404, {"error": "not found"})
             try:
