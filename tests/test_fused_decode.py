@@ -199,8 +199,6 @@ def test_fused_sampler_rejects_oversized_top_k(setup):
     """The in-kernel top-k domain is 128 lanes; a larger top_k must fail
     loudly instead of silently sampling from a truncated candidate set
     (the XLA plane has no such cap, so silence would diverge planes)."""
-    import jax
-
     cfg, params, cache = setup
     u = jnp.zeros((1, 1), jnp.float32) + 0.5
     with pytest.raises(ValueError, match="top_k <= 128"):

@@ -178,10 +178,7 @@ def _np_shape(ne: tuple) -> tuple:
     """ggml ne -> numpy shape (io/ggml.py reading convention), with
     leading length-1 axes dropped for comparison (ggml omits trailing
     ne of 1)."""
-    shape = tuple(reversed(ne))
-    while len(shape) > 1 and shape[0] == 1:
-        shape = shape[1:]
-    return shape
+    return _strip1(tuple(reversed(ne)))
 
 
 def _strip1(shape: tuple) -> tuple:

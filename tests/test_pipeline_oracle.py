@@ -124,7 +124,10 @@ def oracle(tmp_path_factory):
     r = subprocess.run(["g++", "-O2", "-std=c++17", str(cpp), "-o", str(exe)],
                        capture_output=True, text=True)
     if r.returncode != 0:
-        pytest.skip(f"oracle build failed: {r.stderr[-800:]}")
+        # g++ and the reference source are both present, so a compile
+        # failure means OUR harness template broke — skipping here would
+        # silently disable every pipeline-oracle gate
+        pytest.fail(f"oracle harness failed to compile: {r.stderr[-800:]}")
     return str(exe)
 
 

@@ -118,6 +118,14 @@ def run_autoregressive(models_dir: str, assets_dir: str,
     # the reference compares the trim_latents-mutated view — start/stop
     # stripped (main.cpp:4881-4886)
     got = [s[1:-1] for s in sequences]
+    if len(got) != len(want_table) or any(
+            len(g) != len(w) for g, w in zip(got, want_table)):
+        # zip would silently truncate the comparison — a missing or
+        # short sequence is a fail, not fewer checked tokens
+        return StageResult(
+            "autoregressive", "fail",
+            f"sequence shape mismatch: {[len(g) for g in got]} vs "
+            f"{[len(w) for w in want_table]}")
     mismatches = sum(1 for g, w in zip(got, want_table)
                      for a, b in zip(g, w) if a != b)
 
